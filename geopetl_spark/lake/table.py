@@ -1,0 +1,532 @@
+"""Snapshot-manifest lake table: the engine's exactly-once sink.
+
+No Iceberg runtime jar ships in this environment, so the sink is a
+from-scratch copy-on-write table format with Iceberg-like semantics,
+implemented on parquet + JSON manifests:
+
+* **Atomic snapshot commits** — data files are written to a new immutable
+  snapshot directory, then a manifest (file inventory + schema + lineage) is
+  published and the ``_current`` pointer is swapped with ``os.replace``
+  (atomic on POSIX; on an object store this swap maps to a catalog/metastore
+  CAS — the single point to port).
+* **Exactly-once epochs** — every commit records its ``epoch_id``; a replayed
+  epoch is detected in :meth:`LakeTable.merge` and skipped, upgrading the
+  reference's commit-per-1000-rows at-least-once loads
+  (``/root/reference/geopetl/oracle_sde.py:1050-1074``) to idempotent
+  exactly-once.
+* **Hash-bucket layout** — rows are bucketed by ``pmod(xxhash64(key), N)``;
+  each snapshot keeps one parquet directory per touched bucket, and the
+  manifest carries forward untouched buckets' directories from the parent
+  snapshot. MERGE therefore costs O(changed buckets), not O(table): at
+  10^10 rows with a 0.1% change batch, ~all buckets are touched per huge
+  epoch but small epochs rewrite only the buckets their keys hash into —
+  the same copy-on-write economics as Iceberg's.
+* **Additive schema evolution** — the manifest schema evolves via
+  :func:`geopetl_spark.schema.evolve_schema`; reads always apply the current
+  manifest schema, so files written before a column existed surface NULLs
+  (the reference instead *errors* on unknown fields,
+  ``oracle_sde.py:923-927`` — upgraded per the north rule).
+
+Write-path parity with the reference:
+
+* ``write(mode='overwrite')``  ≈ ``tooraclesde(truncate=True)``
+  (``oracle_sde.py:35-61``) — full refresh.
+* ``write(mode='append')``     ≈ ``appendoraclesde`` (``oracle_sde.py:74-82``)
+  — blind append, no key reconciliation.
+* ``merge(...)``               ≈ the ``increment=True`` upsert path (W3,
+  ``oracle_sde.py:987-999``) recast as LSN-ordered key-partitioned MERGE.
+* ``truncate()``               ≈ W1 (``oracle_sde.py:1076-1082``) including
+  "RESTART IDENTITY": committed-epoch bookkeeping resets.
+* auto-create from schema document ≈ ``topostgis`` create path
+  (``postgis.py:90-100, 275-333``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schema as schema_mod
+
+BUCKET_COL = "_bucket"
+LSN_COL = "_lsn"
+DELETED_COL = "_deleted"  # tombstone flag: deletes persist so a late replay of
+# an older event for the key compares against the tombstone's LSN and cannot
+# resurrect it (classic log-compaction semantics). compact(drop_tombstones=
+# True) reclaims them once the replay horizon has passed.
+_PART_COL = "_bucket_p"  # physical partition dir column (duplicated from _bucket)
+_SYSTEM_COLS = (BUCKET_COL, LSN_COL, DELETED_COL)
+
+
+class LakeTable:
+    """A versioned, hash-bucketed, copy-on-write parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.manifest_dir = os.path.join(self.path, "_manifests")
+        self.current_ptr = os.path.join(self.path, "_current")
+
+    # ------------------------------------------------------------------ DDL
+
+    def exists(self) -> bool:
+        # table-existence check, ≈ W7 (oracle_sde.py:49-51 / postgis.py:90)
+        return os.path.exists(self.current_ptr)
+
+    def create(
+        self,
+        schema: T.StructType,
+        key_col: str = "doc_id",
+        n_buckets: int = 64,
+        if_not_exists: bool = False,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        if self.exists():
+            if if_not_exists:
+                return self
+            raise ValueError(f"lake table already exists at {self.path}")
+        if key_col not in schema.fieldNames():
+            raise ValueError(f"key column {key_col!r} not in schema")
+        user_schema = T.StructType([f for f in schema.fields if f.name not in _SYSTEM_COLS])
+        manifest = {
+            "format_version": 1,
+            "version": 0,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent": None,
+            "epoch_id": None,
+            "committed_epochs": [],
+            "key_col": key_col,
+            "n_buckets": int(n_buckets),
+            "schema": json.loads(user_schema.json()),
+            "buckets": {},  # bucket id (str) -> list of data dirs
+            "summary": {"total_rows": 0, "operation": "create"},
+            "lineage": [],
+            "properties": properties or {},
+            "created_at": time.time(),
+        }
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        self._publish(manifest)
+        return self
+
+    @classmethod
+    def create_from_schema_doc(
+        cls, spark: SparkSession, path: str, doc: dict, n_buckets: int = 64
+    ) -> "LakeTable":
+        """Auto-create from a JSON schema document (S11/topostgis analog,
+        postgis.py:275-333: reference does DROP+CREATE; here create-if-absent)."""
+        schema = schema_mod.doc_to_schema(doc)
+        key = (doc.get("primaryKey") or [schema.fields[0].name])[0]
+        return cls(spark, path).create(schema, key_col=key, if_not_exists=True, n_buckets=n_buckets)
+
+    # ----------------------------------------------------------- manifests
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"manifest-{version:08d}.json")
+
+    def _publish(self, manifest: dict) -> None:
+        mpath = self._manifest_path(manifest["version"])
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+        ptr_tmp = self.current_ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(os.path.basename(mpath))
+        os.replace(ptr_tmp, self.current_ptr)  # atomic pointer swap = commit
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            with open(self.current_ptr) as fh:
+                name = fh.read().strip()
+            mpath = os.path.join(self.manifest_dir, name)
+        else:
+            mpath = self._manifest_path(version)
+        with open(mpath) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as fh:
+                    m = json.load(fh)
+                out.append(
+                    {
+                        "version": m["version"],
+                        "snapshot_id": m["snapshot_id"],
+                        "epoch_id": m.get("epoch_id"),
+                        "operation": m["summary"].get("operation"),
+                        "total_rows": m["summary"].get("total_rows"),
+                    }
+                )
+        return out
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    def committed_epochs(self) -> set:
+        return set(self.manifest().get("committed_epochs", []))
+
+    @property
+    def key_col(self) -> str:
+        return self.manifest()["key_col"]
+
+    # ---------------------------------------------------------------- reads
+
+    def _read_schema(self, manifest: dict) -> T.StructType:
+        base = T.StructType.fromJson(manifest["schema"])
+        fields = list(base.fields)
+        fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
+        fields.append(T.StructField(LSN_COL, T.LongType(), True))
+        fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+        return T.StructType(fields)
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        fields: list[str] | None = None,
+        where: str | None = None,
+        limit: int | None = None,
+        include_system: bool = False,
+    ) -> DataFrame:
+        """Read a snapshot (time travel via ``version=``).
+
+        Bucket pruning is manifest-level **file pruning**: only the data
+        directories of requested buckets are scanned — the engine's own
+        partition pruning, independent of (and additive to) parquet
+        row-group stats on ``_bucket``.
+        """
+        m = self.manifest(version)
+        dirs: list[str] = []
+        for b, dlist in m["buckets"].items():
+            if buckets is None or int(b) in set(buckets):
+                dirs.extend(dlist)
+        read_schema = self._read_schema(m)
+        if not dirs:
+            df = self.spark.createDataFrame([], read_schema)
+        else:
+            df = self.spark.read.schema(read_schema).parquet(*dirs)
+        if not include_system:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(*_SYSTEM_COLS)
+        if where:
+            df = df.filter(F.expr(where))
+        if fields:
+            df = df.select(*fields)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def count(self) -> int:
+        # metadata-only row count, ≈ A1 (oracle_sde.py:1084-1091) served from
+        # the snapshot summary like Iceberg's total-records.
+        return int(self.manifest()["summary"].get("total_rows", 0))
+
+    # --------------------------------------------------------------- writes
+
+    def _bucket_expr(self, key_col: str, n_buckets: int):
+        return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)).cast("int")
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.path, "data", f"snap-{version:08d}")
+
+    def _write_snapshot_data(
+        self, df: DataFrame, version: int, n_buckets: int
+    ) -> tuple[dict[str, list[str]], int, int]:
+        """Write df (already carrying _bucket and _lsn) into one dir per
+        bucket under the snapshot dir; returns (bucket->dirs map, row count).
+
+        ``_bucket`` is duplicated into a partition-dir column so bucket
+        separation is physical (file pruning) while the value also stays
+        inside the files (row-group stats + no basePath gymnastics on read).
+        """
+        snapdir = self._snapshot_dir(version)
+        out = df.withColumn(_PART_COL, F.col(BUCKET_COL))
+        # One shuffle, keyed by bucket: co-locates each bucket's rows so each
+        # bucket dir gets few files. Sorting within partitions by key gives
+        # clustered files (better row-group pruning on key lookups).
+        out = out.repartition(n_buckets, F.col(BUCKET_COL)).sortWithinPartitions(
+            self.key_col if self.exists() else out.columns[0]
+        )
+        out.write.mode("overwrite").partitionBy(_PART_COL).parquet(snapdir)
+        written: dict[str, list[str]] = {}
+        for name in os.listdir(snapdir):
+            if name.startswith(f"{_PART_COL}="):
+                b = name.split("=", 1)[1]
+                written[b] = [os.path.join(snapdir, name)]
+        if written:
+            back = self.spark.read.parquet(snapdir)
+            counts = back.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), 0).otherwise(1)
+                ).alias("live"),
+            ).collect()[0]
+            n_rows, n_live = int(counts["n"]), int(counts["live"] or 0)
+        else:
+            n_rows, n_live = 0, 0
+        return written, n_rows, n_live
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        epoch_id: Any | None = None,
+        fail_on_empty: bool = False,
+        lineage: list[dict] | None = None,
+    ) -> dict:
+        """Full refresh (``overwrite`` ≈ truncate+load) or blind ``append``."""
+        if not self.exists():
+            raise ValueError(
+                f"no lake table at {self.path}; create() it first "
+                "(reference refuses auto-create on SDE too, oracle_sde.py:55-57)"
+            )
+        if fail_on_empty and df.isEmpty():
+            # empty-input write guard, W6 (oracle_sde.py:840-846)
+            raise ValueError("refusing to write empty input (fail_on_empty=True)")
+        m = self.manifest()
+        new_schema = schema_mod.evolve_schema(self.schema(), _user_schema(df))
+        df = _conform(df, new_schema)
+        n_buckets = m["n_buckets"]
+        key = m["key_col"]
+        staged = df.withColumn(BUCKET_COL, self._bucket_expr(key, n_buckets))
+        if LSN_COL not in df.columns:
+            staged = staged.withColumn(LSN_COL, F.lit(None).cast("long"))
+        staged = staged.withColumn(DELETED_COL, F.lit(False))
+        version = m["version"] + 1
+        written, n_new, _live_new = self._write_snapshot_data(staged, version, n_buckets)
+
+        if mode == "overwrite":
+            buckets = written
+            total = n_new
+        elif mode == "append":
+            buckets = {k: list(v) for k, v in m["buckets"].items()}
+            for b, dlist in written.items():
+                buckets.setdefault(b, []).extend(dlist)
+            total = m["summary"].get("total_rows", 0) + n_new
+        else:
+            raise ValueError(f"unknown write mode {mode!r}")
+
+        new_m = dict(m)
+        new_m.update(
+            version=version,
+            snapshot_id=uuid.uuid4().hex,
+            parent=m["snapshot_id"],
+            epoch_id=epoch_id,
+            committed_epochs=sorted(set(m.get("committed_epochs", [])) | ({epoch_id} if epoch_id is not None else set())),
+            schema=json.loads(new_schema.json()),
+            buckets=buckets,
+            summary={"total_rows": total, "operation": mode, "rows_written": n_new},
+            lineage=(lineage or []),
+        )
+        self._publish(new_m)
+        return new_m["summary"]
+
+    def truncate(self) -> None:
+        """W1: full-refresh reset including 'RESTART IDENTITY' — the
+        committed-epoch bookkeeping resets with the data."""
+        m = self.manifest()
+        new_m = dict(m)
+        new_m.update(
+            version=m["version"] + 1,
+            snapshot_id=uuid.uuid4().hex,
+            parent=m["snapshot_id"],
+            epoch_id=None,
+            committed_epochs=[],
+            buckets={},
+            summary={"total_rows": 0, "operation": "truncate"},
+            lineage=[],
+        )
+        self._publish(new_m)
+
+    # ---------------------------------------------------------------- MERGE
+
+    def merge(
+        self,
+        changes: DataFrame,
+        epoch_id: Any,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        assume_deduped: bool = False,
+        lineage: list[dict] | None = None,
+    ) -> dict:
+        """Apply a CDC change batch as an idempotent key-partitioned MERGE.
+
+        Semantics (north rule): LSN-ordered per-key dedup, then upsert
+        (op I/U) or delete (op D) against current state; a source row older
+        than the target row's ``_lsn`` never regresses state, so replaying
+        any suffix of history is a no-op — combined with epoch-id skip this
+        is the exactly-once contract.
+        """
+        if not self.exists():
+            raise ValueError(f"no lake table at {self.path}")
+        m = self.manifest()
+        if epoch_id is not None and epoch_id in set(m.get("committed_epochs", [])):
+            return {"operation": "skip", "reason": "epoch already committed", "epoch_id": epoch_id}
+
+        key = m["key_col"]
+        n_buckets = m["n_buckets"]
+
+        if not assume_deduped:
+            from ..operators.dedup_cdc import latest_per_key
+
+            changes = latest_per_key(changes, key_col=key, lsn_col=lsn_col, op_col=op_col)
+
+        payload_cols = [c for c in changes.columns if c not in (op_col, lsn_col, "commit_ts", "epoch")]
+        incoming_schema = T.StructType([f for f in changes.schema.fields if f.name in payload_cols])
+        new_schema = schema_mod.evolve_schema(self.schema(), incoming_schema)
+
+        src = changes.withColumn(BUCKET_COL, self._bucket_expr(key, n_buckets))
+        src = src.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+
+        # Affected-bucket pruning: only buckets containing changed keys are
+        # read and rewritten. The distinct-bucket list is tiny (≤ n_buckets
+        # ints) — the one deliberate collect in the merge path.
+        affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+        target = self.read(buckets=affected, include_system=True)
+        target = _conform(target, new_schema, keep_system=True)
+
+        data_cols = [f.name for f in new_schema.fields]
+        src_sel = src.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType) if f.name in src.columns else F.lit(None).cast(f.dataType)
+                ).alias(f"_src_{f.name}")
+                for f in new_schema.fields
+            ],
+            F.col(BUCKET_COL).alias(f"_src_{BUCKET_COL}"),
+            F.col(LSN_COL).alias(f"_src_{LSN_COL}"),
+            F.col(op_col).alias("_src_op"),
+        )
+
+        # Key-partitioned full-outer MERGE: both sides shuffle on the key;
+        # AQE skew-join splits any residual hot partitions (source side is
+        # already deduped to unique keys, so skew lives in the target only
+        # if key distribution is pathological).
+        joined = target.join(src_sel, target[key] == src_sel[f"_src_{key}"], "full_outer")
+
+        src_present = F.col(f"_src_{key}").isNotNull()
+        tgt_present = F.col(key).isNotNull()
+        src_newer = src_present & (
+            ~tgt_present | F.col(LSN_COL).isNull() | (F.col(f"_src_{LSN_COL}") >= F.col(LSN_COL))
+        )
+
+        # Deletes become tombstones (not row removal): a later replay of an
+        # older upsert for the key sees the tombstone's _lsn and loses.
+        resolved = joined.select(
+            *[
+                F.when(src_newer, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+                for c in data_cols
+            ],
+            F.when(src_newer, F.col(f"_src_{BUCKET_COL}")).otherwise(F.col(BUCKET_COL)).alias(BUCKET_COL),
+            F.when(src_newer, F.col(f"_src_{LSN_COL}")).otherwise(F.col(LSN_COL)).alias(LSN_COL),
+            F.when(src_newer, F.col("_src_op") == "D")
+            .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .alias(DELETED_COL),
+        )
+
+        version = m["version"] + 1
+        written, n_affected_rows, n_affected_live = self._write_snapshot_data(resolved, version, n_buckets)
+
+        buckets = {k: list(v) for k, v in m["buckets"].items() if int(k) not in set(affected)}
+        buckets.update(written)  # carry forward untouched buckets, swap affected
+
+        prev_total = m["summary"].get("total_rows", 0)
+        prev_affected_live = 0
+        if affected:
+            prev_affected_dirs = [d for b, dl in m["buckets"].items() if int(b) in set(affected) for d in dl]
+            if prev_affected_dirs:
+                prev_affected_live = (
+                    self.spark.read.schema(self._read_schema(m))
+                    .parquet(*prev_affected_dirs)
+                    .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                    .count()
+                )
+        total = prev_total - prev_affected_live + n_affected_live
+
+        new_m = dict(m)
+        new_m.update(
+            version=version,
+            snapshot_id=uuid.uuid4().hex,
+            parent=m["snapshot_id"],
+            epoch_id=epoch_id,
+            committed_epochs=sorted(set(m.get("committed_epochs", [])) | ({epoch_id} if epoch_id is not None else set())),
+            schema=json.loads(new_schema.json()),
+            buckets=buckets,
+            summary={
+                "operation": "merge",
+                "total_rows": total,
+                "rows_written": n_affected_rows,
+                "live_rows_written": n_affected_live,
+                "buckets_affected": len(affected),
+                "epoch_id": epoch_id,
+            },
+            lineage=(lineage or []),
+        )
+        self._publish(new_m)
+        return new_m["summary"]
+
+    # ------------------------------------------------------------ utilities
+
+    def checksum(self) -> int:
+        """Order-independent state checksum: sum of xxhash64 over every row's
+        canonical (key, payload) encoding — the 'byte-identical replay'
+        equality check from the north rule."""
+        df = self.read()
+        cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+        return (
+            df.select(F.xxhash64(*cols).alias("h"))
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
+
+    def compact(self, drop_tombstones: bool = False) -> dict:
+        """Rewrite every bucket's dirs into one snapshot (small-file cleanup).
+
+        ``drop_tombstones=True`` also reclaims delete tombstones — only safe
+        once no replay older than the tombstones' LSNs can arrive (the
+        checkpoint horizon has passed them)."""
+        m = self.manifest()
+        df = self.read(include_system=True)
+        if drop_tombstones:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        version = m["version"] + 1
+        written, n, n_live = self._write_snapshot_data(df, version, m["n_buckets"])
+        new_m = dict(m)
+        new_m.update(
+            version=version,
+            snapshot_id=uuid.uuid4().hex,
+            parent=m["snapshot_id"],
+            buckets=written,
+            summary={"operation": "compact", "total_rows": n_live, "rows_written": n},
+        )
+        self._publish(new_m)
+        return new_m["summary"]
+
+
+def _user_schema(df: DataFrame) -> T.StructType:
+    return T.StructType([f for f in df.schema.fields if f.name not in _SYSTEM_COLS])
+
+
+def _conform(df: DataFrame, schema: T.StructType, keep_system: bool = False) -> DataFrame:
+    """Project df onto schema: missing columns become typed NULLs, column
+    order normalized (W4 analog — order normalization before merge)."""
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    if keep_system:
+        for s in _SYSTEM_COLS:
+            if s in df.columns:
+                cols.append(F.col(s))
+    return df.select(*cols)

@@ -1,0 +1,95 @@
+"""spark-submit entry point for the CDC ingest engine.
+
+Usage (cluster):
+    spark-submit --py-files geopetl_spark.zip -m geopetl_spark.run \\
+        --log /data/cdc_log --table /lake/docs --checkpoint /lake/_ckpt
+
+Usage (sandbox, two parallelism levels for the scaling-efficiency evidence):
+    python -m geopetl_spark.run --generate 200000 --cores 8  --workdir /tmp/cdc8
+    python -m geopetl_spark.run --generate 200000 --cores 32 --workdir /tmp/cdc32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import types as T
+
+from .lake.table import LakeTable
+from .session import get_spark
+from .sources.cdc_gen import write_cdc_log
+from .streaming.pipeline import IngestConfig, run_ingest
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(description="geopetl_spark CDC ingest")
+    p.add_argument("--log", help="path to the CDC event log (parquet, epoch-partitioned)")
+    p.add_argument("--table", help="lake table path")
+    p.add_argument("--checkpoint", help="checkpoint dir")
+    p.add_argument("--workdir", help="shorthand: derive log/table/checkpoint under this dir")
+    p.add_argument("--generate", type=int, default=0, help="generate N synthetic events first")
+    p.add_argument("--events-per-epoch", type=int, default=50_000)
+    p.add_argument("--n-keys", type=int, default=10_000)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--cores", type=int, default=None, help="local[N] parallelism")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--drift-epoch", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    if args.workdir:
+        args.log = args.log or os.path.join(args.workdir, "cdc_log")
+        args.table = args.table or os.path.join(args.workdir, "lake")
+        args.checkpoint = args.checkpoint or os.path.join(args.workdir, "ckpt")
+    if not (args.log and args.table and args.checkpoint):
+        p.error("--log/--table/--checkpoint (or --workdir) required")
+
+    master = f"local[{args.cores}]" if args.cores else None
+    spark = get_spark(app_name="geopetl_spark.ingest", master=master)
+
+    if args.generate:
+        write_cdc_log(
+            spark,
+            args.log,
+            args.generate,
+            n_keys=args.n_keys,
+            events_per_epoch=args.events_per_epoch,
+            drift_epoch=args.drift_epoch,
+            seed=args.seed,
+        )
+
+    table = LakeTable(spark, args.table)
+    if not table.exists():
+        table.create(DOC_SCHEMA, key_col="doc_id", n_buckets=args.n_buckets)
+
+    cfg = IngestConfig(log_path=args.log, table_path=args.table, checkpoint_path=args.checkpoint)
+    t0 = time.time()
+    results = run_ingest(spark, cfg, max_epochs=args.max_epochs)
+    elapsed = time.time() - t0
+    total_rows = sum(r.rows for r in results)
+    out = {
+        "epochs": len(results),
+        "events": total_rows,
+        "elapsed_sec": elapsed,
+        "events_per_sec": total_rows / max(elapsed, 1e-9),
+        "final_rows": table.count(),
+        "checksum": str(table.checksum()),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

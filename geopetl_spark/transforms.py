@@ -1,0 +1,96 @@
+"""Vectorized payload transforms — the expression library.
+
+Reference parity: geopetl's only true transform operator is row-at-a-time
+WKT reprojection (``ReprojectView.__iter__``,
+``/root/reference/geopetl/transform/reproject.py:29-35``) plus per-cell write
+coercions (``_prepare_val`` ``oracle_sde.py:701-744``, ``_prepare_geom``
+``oracle_sde.py:746-782``, ``prepare_val`` ``postgis.py:748-799``). The north
+rule forbids per-row Python, so everything here is either a built-in column
+expression (JVM, whole-stage codegen) or an Arrow-batched pandas UDF.
+
+The payload analog of geometry normalization (None/'' -> 'POINT EMPTY',
+NaN -> 0, MULTI promotion) is **token-array sanitization**: null -> empty
+array, element nulls dropped, values clamped to the vocab range, dtype
+enforced, n_tok recomputed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow  # noqa: F401  (asserts the Arrow path is available)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def sanitize_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Token-array sanitization, all JVM-side (≈ _prepare_geom's
+    empty/NaN/type repairs, oracle_sde.py:746-782):
+
+    * NULL array        -> empty array (≈ ``'POINT EMPTY'`` for null geometry,
+      oracle_sde.py:748-753)
+    * NULL elements     -> dropped (≈ NaN->0 repair, oracle_sde.py:763-767)
+    * out-of-vocab ids  -> clamped into [0, vocab_size) (≈ ST_Force_2D clamp)
+    * n_tok             -> recomputed from the sanitized array
+    """
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    toks = F.filter(toks, lambda x: x.isNotNull())
+    if vocab_size is not None:
+        toks = F.transform(
+            toks, lambda x: F.least(F.greatest(x, F.lit(0)), F.lit(vocab_size - 1)).cast("int")
+        )
+    out = df.withColumn(tokens_col, toks.cast("array<int>"))
+    return out.withColumn(n_tok_col, F.size(F.col(tokens_col)).cast("int"))
+
+
+def normalize_strings(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Empty-string -> NULL and whitespace trim (≈ prepare_val's
+    empty-value -> NULL mapping, postgis.py:758-775, and the reference
+    tests' leading-space date strings, FIXTURES.md §1)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.nullif(F.trim(F.col(c)), F.lit("")))
+    return out
+
+
+def parse_timestamps(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """String -> timestamp with explicit formats (≈ _prepare_val's dateutil
+    parse + reformat, oracle_sde.py:714-741, without per-row Python)."""
+    out = df
+    for c, fmt in cols.items():
+        out = out.withColumn(c, F.to_timestamp(F.col(c), fmt))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF template (the ReprojectView analog): payload transform that
+# genuinely needs Python runs Arrow-batched, never row-at-a-time.
+# ---------------------------------------------------------------------------
+
+def make_affine_transform_udf(scale: float, offset: int):
+    """Template vectorized payload transform (stands in for reprojection:
+    an elementwise remap of every value in the payload array). Uses a
+    pandas UDF over array<int> — one Arrow batch per invocation.
+    Reference analog: WktTransformer.transform (reproject_util.py:17-23),
+    which remaps every coordinate of every geometry row-by-row."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def remap(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda arr: None if arr is None else [int(x * scale) + offset for x in arr]
+        )
+
+    return remap
+
+
+def reproject_tokens(df: DataFrame, tokens_col: str, scale: float, offset: int) -> DataFrame:
+    """``etl.reproject`` analog (transform/reproject.py:6-41): a chained view
+    over the payload column. In Spark the 'view' is just withColumn — the
+    reference's must-directly-follow-source limitation (reproject.py:25-26)
+    disappears because metadata travels in the schema."""
+    return df.withColumn(tokens_col, make_affine_transform_udf(scale, offset)(F.col(tokens_col)))
