@@ -1,38 +1,555 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (CDC latest-state reduction) on
+sf0.001. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline extensions; ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for each (identical column names and
+types — integers cast to BIGINT, floats rounded to fixed decimals, and
+timestamps serialized to microsecond strings on BOTH sides so the driver's
+order-insensitive value hash matches bit-for-bit).
+
+All hash-bearing oracles (fingerprint, MinHash, SimHash, LSH buckets) share
+the engine's md5-derived integer hashing, which DuckDB reproduces exactly —
+see geopetl_spark/functions/text.py and operators/dedup_text.py.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from geopetl_spark.functions import text as TXT
+from geopetl_spark.functions.arrays import cosine
+from geopetl_spark.operators import ann as ANN
+from geopetl_spark.operators import dedup_text as DD
+from geopetl_spark.operators.dedup_cdc import latest_per_key
+from geopetl_spark.sources.readers import from_parquet
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC latest-state reduction (salted two-phase max-LSN dedup,
+    the engine's core operator) over the sf0.001 events stream."""
+    return _q_cdc_latest_state(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# relational / geopetl read surface
+# ---------------------------------------------------------------------------
+
+def _q_read_projection_filter(spark, sf):
+    # frompostgis(fields=, where=) surface: projection + predicate pushdown
+    return from_parquet(
+        spark,
+        f"{sf}/customer.parquet",
+        fields=["c_custkey", "c_name", "c_acctbal"],
+        where="c_acctbal > 5000.0",
+    )
+
+
+def _q_scan_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count("*").cast("long").alias("n_rows"))
+
+
+def _q_distinct_event_types(spark, sf):
+    return _t(spark, sf, "events").select("event_type").distinct()
+
+
+def _q_payload_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+def _q_cdc_latest_state(spark, sf):
+    ev = _t(spark, sf, "events")
+    latest = latest_per_key(ev, key_col="user_id", lsn_col="event_id", ts_col="ts", op_col="event_type")
+    return latest.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.date_format("ts", TS_FMT).alias("ts_str"),
+        "event_type",
+        "value",
+    )
+
+
+def _q_q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue_orders(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    joined = (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("l_orderkey").cast("long").alias("orderkey"), "revenue", F.col("c_custkey").cast("long").alias("custkey"))
+    )
+    return joined.orderBy(F.desc("revenue"), F.asc("orderkey")).limit(10)
+
+
+def _q_region_customer_counts(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").cast("long").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+def _q_window_top3_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(F.col("user_id").cast("long").alias("user_id"), "n_sessions", "n_events")
+    )
+
+
+def _q_tumbling_window_counts(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def _q_set_supplier_only_nations(spark, sf):
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    return s.distinct().exceptAll(c.distinct())
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _q_text_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_words"),
+        TXT.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        F.round(TXT.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+def _q_text_lang_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TXT.lang_id(F.col("text")).alias("lang_pred"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TXT.fingerprint(F.col("text")).cast("long").alias("fingerprint"),
+    )
+
+
+def _q_doc_length_histogram(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf):
+    return DD.exact_dup_groups(_t(spark, sf, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dup_group").cast("long").alias("dup_group"),
+        F.col("group_size").cast("long").alias("group_size"),
+        "is_canonical",
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8, n=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _q_dedup_minhash_lsh(spark, sf):
+    return DD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.8, n=3, bands=4, rows_per_band=4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _q_dedup_simhash(spark, sf):
+    return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _q_embed_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return ANN.cosine_topk(q, emb, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "similarity",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_embed_near_dup(spark, sf):
+    return ANN.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "similarity",
+    )
+
+
+def _q_embed_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return ANN.lsh_bucketed_topk(q, emb, k=5, n_bits=4, dim=64).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "similarity",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "read_projection_filter": _q_read_projection_filter,
+        "scan_count": _q_scan_count,
+        "distinct_event_types": _q_distinct_event_types,
+        "payload_stats": _q_payload_stats,
+        "cdc_latest_state": _q_cdc_latest_state,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "region_customer_counts": _q_region_customer_counts,
+        "window_top3_orders": _q_window_top3_orders,
+        "sessionize": _q_sessionize,
+        "tumbling_window_counts": _q_tumbling_window_counts,
+        "set_supplier_only_nations": _q_set_supplier_only_nations,
+        "text_token_stats": _q_text_token_stats,
+        "text_lang_quality": _q_text_lang_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "embed_cosine_topk": _q_embed_cosine_topk,
+        "embed_near_dup": _q_embed_near_dup,
+        "embed_lsh_ann": _q_embed_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared SQL fragments -------------------------------------------------------
+
+_SHINGLES_CTE = """
+W as (select doc_id, string_split(trim(text), ' ') ws from documents),
+SH as (select doc_id, list_distinct(list_transform(range(len(ws)-2),
+        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) s from W),
+EX as (select doc_id, unnest(s) sh from SH),
+SZ as (select doc_id, len(s) n_sh from SH),
+INTR as (select a.doc_id id_a, b.doc_id id_b, count(*) n_common
+         from EX a join EX b on a.sh = b.sh and a.doc_id < b.doc_id
+         group by 1, 2),
+JAC as (select i.id_a, i.id_b,
+         round(i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common), 6) as jaccard
+        from INTR i
+        join SZ sa on sa.doc_id = i.id_a
+        join SZ sb on sb.doc_id = i.id_b)
+"""
+
+_MINHASH_SIG_SQL = ",\n".join(
+    f"  min(({2 * i + 3}*x + {1000 + i}) % 2147483647) as mh{i}" for i in range(16)
+)
+_BAND_SQL = " union all ".join(
+    "select doc_id, concat_ws(':', {b}, {cols}) band_key from SIG".format(
+        b=bi, cols=", ".join(f"mh{bi * 4 + ri}" for ri in range(4))
+    )
+    for bi in range(4)
+)
+
+_SIMHASH_CTE = """
+WRD as (select doc_id, unnest(string_split(trim(text), ' ')) w from documents),
+H as (select doc_id, ('0x' || substr(md5(w), 1, 14))::BIGINT h from WRD),
+PB as (select doc_id, j, sum(case when (h >> j) & 1 = 1 then 1 else -1 end) s
+       from H cross join (select unnest(range(48)) j) bits group by doc_id, j),
+SHH as (select doc_id, sum(case when s > 0 then (1::BIGINT << j) else 0::BIGINT end) simhash
+        from PB group by doc_id)
+"""
+
+
+def _lsh_bucket_sql(table_alias: str) -> str:
+    """bucket id from 4 deterministic integer hyperplanes (mirrors
+    geopetl_spark.operators.ann._hyperplane_sign_bits)."""
+    terms = []
+    for j in range(4):
+        w = f"list_transform(range(64), d -> (((1103515245*(d + {31 * j}) + 12345) % 2001) - 1000)::DOUBLE)"
+        terms.append(f"(case when list_dot_product({table_alias}.v, {w}) > 0 then {1 << j} else 0 end)")
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stopword_cases = []
+    for lang in sorted(TXT.STOPWORDS):
+        sw = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lang])
+        stopword_cases.append(
+            f"len(list_filter(string_split(trim(text), ' '), x -> x in ({sw}))) as hits_{lang}"
+        )
+    lang_best = (
+        "case when greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 then 'und' "
+        "when hits_fr > greatest(hits_de, hits_en, hits_es) then 'fr' "
+        "when hits_es > greatest(hits_de, hits_en) then 'es' "
+        "when hits_en > hits_de then 'en' else 'de' end"
+    )
+
+    return {
+        "read_projection_filter": "select c_custkey, c_name, c_acctbal from customer where c_acctbal > 5000.0",
+        "scan_count": "select count(*) as n_rows from lineitem",
+        "distinct_event_types": "select distinct event_type from events",
+        "payload_stats": (
+            "select count(*) as n_docs, max(n_chars) as max_chars, min(n_chars) as min_chars, "
+            "round(avg(n_chars), 4) as avg_chars, count(distinct source) as n_sources from documents"
+        ),
+        "cdc_latest_state": f"""
+            select user_id, event_id, strftime(ts, '{DUCK_TS_FMT}') as ts_str, event_type, value
+            from (select *, row_number() over (partition by user_id order by event_id desc) rn from events)
+            where rn = 1
+        """,
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_extendedprice), 4) as avg_price,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            with rev as (
+              select l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+              from lineitem group by l_orderkey)
+            select r.l_orderkey as orderkey, r.revenue, c.c_custkey as custkey
+            from rev r join orders o on r.l_orderkey = o.o_orderkey
+            join customer c on o.o_custkey = c.c_custkey
+            where c.c_mktsegment = 'BUILDING'
+            order by r.revenue desc, orderkey asc limit 10
+        """,
+        "region_customer_counts": """
+            select r.r_name, count(*) as n_customers, round(sum(c.c_acctbal), 2) as total_acctbal
+            from customer c join nation n on c.c_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            group by r.r_name
+        """,
+        "window_top3_orders": """
+            select o_custkey as custkey, o_orderkey as orderkey, o_totalprice as totalprice, rank
+            from (select *, row_number() over (partition by o_custkey
+                        order by o_totalprice desc, o_orderkey asc) as rank from orders)
+            where rank <= 3
+        """,
+        "sessionize": """
+            with g as (
+              select user_id,
+                     case when lag(ts) over w is null
+                          or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                          then 1 else 0 end as new_sess
+              from events window w as (partition by user_id order by ts, event_id))
+            select user_id, sum(new_sess) as n_sessions, count(*) as n_events
+            from g group by user_id
+        """,
+        "tumbling_window_counts": f"""
+            select strftime(date_trunc('hour', ts), '{DUCK_TS_FMT}') as window_start, event_type,
+                   count(*) as n, round(sum(value), 2) as total_value
+            from events group by 1, 2
+        """,
+        "set_supplier_only_nations": """
+            select distinct s_nationkey::BIGINT as nationkey from supplier
+            except
+            select distinct c_nationkey::BIGINT as nationkey from customer
+        """,
+        "text_token_stats": r"""
+            select doc_id,
+                   case when len(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\s+')) end as n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) as n_bpe,
+                   round(case when len(trim(text)) = 0 then 0.0
+                         else len(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                              / len(string_split_regex(trim(text), '\s+')) end, 6) as mean_word_len
+            from documents
+        """,
+        "text_lang_quality": f"""
+            with hits as (select doc_id, text, {', '.join(stopword_cases)} from documents),
+            base as (select doc_id,
+                   case when len(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\\s+')) end as tc,
+                   len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE as n_punct,
+                   len(text)::DOUBLE as n_chars, hits_de, hits_en, hits_es, hits_fr
+                   from hits)
+            select doc_id, {lang_best} as lang_pred,
+                   round(0.5 * least(tc / 100.0, 1.0)
+                       + 0.3 * (1.0 - case when n_chars = 0 then 0.0 else n_punct / n_chars end)
+                       + 0.2 * least(case when tc = 0 then 0.0 else hits_en::DOUBLE / tc end * 5.0, 1.0),
+                     6) as quality
+            from base
+        """,
+        "text_fingerprint": """
+            select doc_id,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(trim(text), ' '),
+                       w -> ('0x' || substr(md5(w), 1, 14))::BIGINT % 1000000007)),
+                     (a, b) -> (a * 31 + b) % 1000000007) as fingerprint
+            from documents
+        """,
+        "doc_length_histogram": "select (n_chars // 100)::BIGINT as bucket, count(*) as n_docs from documents group by 1",
+        "dedup_exact": """
+            with h as (select doc_id, md5(text) ch from documents),
+            g as (select ch, min(doc_id) dup_group, count(*) group_size from h group by ch)
+            select h.doc_id, g.dup_group, g.group_size, h.doc_id = g.dup_group as is_canonical
+            from h join g using (ch)
+        """,
+        "dedup_ngram_jaccard": f"with {_SHINGLES_CTE} select id_a, id_b, jaccard from JAC where jaccard >= 0.8",
+        "dedup_minhash_lsh": f"""
+            with {_SHINGLES_CTE},
+            HX as (select doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT % 2147483647 as x from EX),
+            SIG as (select doc_id, {_MINHASH_SIG_SQL} from HX group by doc_id),
+            BANDS as ({_BAND_SQL}),
+            CAND as (select distinct a.doc_id id_a, b.doc_id id_b
+                     from BANDS a join BANDS b on a.band_key = b.band_key and a.doc_id < b.doc_id)
+            select c.id_a, c.id_b, j.jaccard
+            from CAND c join JAC j on j.id_a = c.id_a and j.id_b = c.id_b
+            where j.jaccard >= 0.8
+        """,
+        "dedup_simhash": f"""
+            with {_SIMHASH_CTE}
+            select a.doc_id id_a, b.doc_id id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT as hamming
+            from SHH a join SHH b on a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "embed_cosine_topk": """
+            with E as (select vec_id, embedding::DOUBLE[] v from embeddings),
+            scored as (
+              select q.vec_id query_id, c.vec_id neighbor_id,
+                     round(list_dot_product(q.v, c.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) similarity
+              from E q join E c on q.vec_id != c.vec_id where q.vec_id < 20),
+            ranked as (select *, row_number() over (partition by query_id
+                              order by similarity desc, neighbor_id asc) rank from scored)
+            select query_id, neighbor_id, similarity, rank from ranked where rank <= 5
+        """,
+        "embed_near_dup": """
+            with E as (select vec_id, embedding::DOUBLE[] v from embeddings)
+            select a.vec_id id_a, b.vec_id id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) similarity
+            from E a join E b on a.vec_id < b.vec_id
+            where round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        """,
+        "embed_lsh_ann": f"""
+            with E as (select vec_id, embedding::DOUBLE[] v from embeddings),
+            B as (select vec_id, v, {_lsh_bucket_sql('E')} as bucket from E),
+            scored as (
+              select q.vec_id query_id, c.vec_id neighbor_id,
+                     round(list_dot_product(q.v, c.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) similarity
+              from B q join B c on q.bucket = c.bucket and q.vec_id != c.vec_id
+              where q.vec_id < 20),
+            ranked as (select *, row_number() over (partition by query_id
+                              order by similarity desc, neighbor_id asc) rank from scored)
+            select query_id, neighbor_id, similarity, rank from ranked where rank <= 5
+        """,
+    }

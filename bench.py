@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the engine's primary
+metric — CDC MERGE-apply throughput (change-events/sec) on a synthetic
+change log ingested through the full pipeline (generate → sanitize → salted
+dedup → exactly-once MERGE → lineage).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total query sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "cdc": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from geopetl_spark import LakeTable, get_spark
+from geopetl_spark.run import DOC_SCHEMA
+from geopetl_spark.sources.cdc_gen import write_cdc_log
+from geopetl_spark.streaming.pipeline import IngestConfig, run_ingest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+
+HEADLINE = [
+    "cdc_latest_state",
+    "q1_pricing_summary",
+    "top_revenue_orders",
+    "window_top3_orders",
+    "sessionize",
+    "tumbling_window_counts",
+    "text_fingerprint",
+    "text_lang_quality",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "embed_near_dup",
+    "embed_lsh_ann",
+]
+
+
+def bench_queries(spark) -> dict[str, float]:
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm the plan (analysis + file listing) outside the timed region,
+        # then time the full execution to a count() action
+        df = fn(spark, SF_DIR)
+        t0 = time.time()
+        df.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_cdc(spark) -> dict:
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        log = os.path.join(work, "log")
+        write_cdc_log(
+            spark,
+            log,
+            CDC_EVENTS,
+            n_keys=max(CDC_EVENTS // 20, 1000),
+            events_per_epoch=max(CDC_EVENTS // 4, 10_000),
+            n_hot=7,
+            hot_fraction=0.15,
+        )
+        tp = os.path.join(work, "lake")
+        LakeTable(spark, tp).create(DOC_SCHEMA, key_col="doc_id", n_buckets=64)
+        cfg = IngestConfig(
+            log_path=log, table_path=tp, checkpoint_path=os.path.join(work, "ck")
+        )
+        t0 = time.time()
+        results = run_ingest(spark, cfg)
+        elapsed = time.time() - t0
+        events = sum(r.rows for r in results)
+        return {
+            "events": events,
+            "epochs": len(results),
+            "elapsed_sec": round(elapsed, 3),
+            "events_per_sec": round(events / max(elapsed, 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    spark = get_spark(app_name="geopetl_spark_bench", master=f"local[{CPUS}]")
+    queries = bench_queries(spark)
+    cdc = bench_cdc(spark)
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock at sf (plus CDC merge-apply throughput in .cdc)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cdc": cdc,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

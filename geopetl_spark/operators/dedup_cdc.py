@@ -57,7 +57,11 @@ def latest_per_key(
     """
     order_key = F.struct(
         F.col(lsn_col).cast("long").alias("lsn"),
-        (F.col(ts_col).cast("double") if ts_col in df.columns else F.lit(0.0)).alias("ts"),
+        (
+            # unix_micros needs TIMESTAMP; cast handles TIMESTAMP_NTZ inputs
+            # (session TZ pinned to UTC so the conversion is deterministic)
+            F.unix_micros(F.col(ts_col).cast("timestamp")) if ts_col in df.columns else F.lit(0)
+        ).alias("ts"),
         (_op_rank_col(op_col) if op_col in df.columns else F.lit(0)).alias("op_rank"),
     )
     row = F.struct(*[F.col(c) for c in df.columns])

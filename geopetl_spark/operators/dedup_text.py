@@ -1,0 +1,241 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash-LSH,
+SimHash. The training-data-pipeline extension of the engine (SURVEY §2.7 gap
+fill) — all pure DataFrame compositions, no UDFs, designed to scale:
+
+* exact dedup      — one hash-groupBy (map-side combinable);
+* n-gram Jaccard   — inverted-index self-join on shingles (never a cross
+                     join: candidate generation cost ∝ shared-shingle pairs);
+* MinHash-LSH      — shingle → k minhashes → b bands → band-bucket equi-join;
+                     candidate pairs verified with exact Jaccard. The
+                     standard sub-quadratic near-dup pipeline.
+* SimHash          — 48-bit fingerprint; banded join (pigeonhole on 4 chunks)
+                     + Hamming-distance verify via bit_count(xor).
+
+Hash determinism: every hash bottoms out in md5 (cross-engine reproducible),
+and all modular arithmetic stays far below 2^63 so ANSI overflow checks never
+trip. Each operator is mirrored by an ANSI-SQL oracle in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.arrays import word_ngrams
+from ..functions.text import word_hash
+
+# LSH parameters: k = bands * rows_per_band minhashes.
+_MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*x + b < 2^44
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping by content hash: every doc gets its group's
+    canonical (minimum) id and the group size; ``is_canonical`` marks the
+    keeper. One groupBy-join, broadcast-friendly when dup groups are rare."""
+    hashed = docs.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("dup_group"), F.count("*").alias("group_size")
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            id_col,
+            "dup_group",
+            "group_size",
+            (F.col(id_col) == F.col("dup_group")).alias("is_canonical"),
+        )
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct n-gram word shingles per doc (exploded): the inverted index."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    |A ∩ B| comes from the shingle self-join; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+    """
+    sh = _shingles(docs, text_col, id_col, n).cache()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_sig_cols(n_hashes: int):
+    """Column exprs for the k minhash values over an exploded shingle hash
+    ``_x`` (already reduced mod the prime). h_i(x) = (a_i*x + b_i) mod P with
+    small deterministic odd multipliers — products stay < 2^44."""
+    return [
+        F.min((F.lit(2 * i + 3) * F.col("_x") + F.lit(1000 + i)) % F.lit(_MINHASH_PRIME)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate generation, then exact-Jaccard
+    verification of candidates only.
+
+    With b=4 bands × r=4 rows the candidate threshold is ~(1/b)^(1/r) ≈ 0.71;
+    pairs above ``threshold`` (default 0.5) that share at least one band are
+    emitted after exact verification — at 100 TB the verification join touches
+    only candidate pairs, never the quadratic space.
+    """
+    k = bands * rows_per_band
+    sh = _shingles(docs, text_col, id_col, n)
+    hashed = sh.withColumn(
+        "_x", F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long") % F.lit(_MINHASH_PRIME)
+    )
+    sigs = hashed.groupBy("_id").agg(*_minhash_sig_cols(k))
+
+    # bands: concat each band's minhashes into one bucket key, explode
+    band_keys = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        *[F.col(f"mh{bi * rows_per_band + ri}") for ri in range(rows_per_band)],
+                    ).alias(f"band{bi}")
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    ka = band_keys.alias("ka")
+    kb = band_keys.alias("kb")
+    candidates = (
+        ka.join(kb, (F.col("ka.band_key") == F.col("kb.band_key")) & (F.col("ka._id") < F.col("kb._id")))
+        .select(F.col("ka._id").alias("id_a"), F.col("kb._id").alias("id_b"))
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, text_col=text_col, id_col=id_col)
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 48  # 48 bits keeps 2^j sums far from bigint overflow
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash per document from md5 word hashes.
+
+    Implementation is explode-free on the doc axis: per (doc, bit) counts via
+    one explode of words × a 48-element bit array, then a groupBy — two
+    shuffles total, all built-ins.
+    """
+    wh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("h", word_hash(F.col("w")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j")
+    per_bit = (
+        wh.select("_id", "h", bit)
+        # SQL shiftright/shiftleft via expr: the PySpark wrappers require a
+        # literal bit count, but here the shift amount is the exploded column
+        .withColumn("contrib", F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1))
+        .groupBy("_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        per_bit.withColumn("bitval", F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0).cast("long")))
+        .groupBy("_id")
+        .agg(F.sum("bitval").alias("simhash"))
+        .select(F.col("_id").alias("doc_id"), "simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banded join: the 48 bits split into ``max_hamming+1`` chunks; by
+    pigeonhole, any pair within distance ``max_hamming`` agrees on at least
+    one full chunk — candidates are equi-joined per chunk, verified with
+    bit_count(xor). Sub-quadratic like the MinHash path.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = _SIMHASH_BITS // n_chunks
+    sh = simhash(docs, text_col, id_col)
+    mask = (1 << chunk_bits) - 1
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(ci),
+                        (F.shiftright(F.col("simhash"), ci * chunk_bits).bitwiseAND(F.lit(mask))).cast("string"),
+                    )
+                    for ci in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk_key") == F.col("b.chunk_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
