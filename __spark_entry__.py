@@ -24,6 +24,7 @@ from geopetl_spark.functions import text as TXT
 from geopetl_spark.functions.arrays import cosine
 from geopetl_spark.operators import ann as ANN
 from geopetl_spark.operators import dedup_text as DD
+from geopetl_spark.operators.asof import asof_join
 from geopetl_spark.operators.dedup_cdc import latest_per_key
 from geopetl_spark.sources.readers import from_parquet
 
@@ -186,6 +187,83 @@ def _q_set_supplier_only_nations(spark, sf):
     return s.distinct().exceptAll(c.distinct())
 
 
+def _q_semi_anti_customers(spark, sf):
+    """Semi/anti joins (SURVEY §2.7 join-family coverage): per nation, how
+    many customers have orders (left_semi) vs none (left_anti)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select("o_custkey")
+    cond = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond, "left_semi").groupBy("c_nationkey").agg(F.count("*").alias("n_with"))
+    anti = c.join(o, cond, "left_anti").groupBy("c_nationkey").agg(F.count("*").alias("n_without"))
+    keys = c.select("c_nationkey").distinct()
+    return (
+        keys.join(semi, "c_nationkey", "left")
+        .join(anti, "c_nationkey", "left")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.coalesce(F.col("n_with"), F.lit(0)).cast("long").alias("n_with_orders"),
+            F.coalesce(F.col("n_without"), F.lit(0)).cast("long").alias("n_without_orders"),
+        )
+    )
+
+
+def _q_asof_last_click(spark, sf):
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", suffix="")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", TS_FMT).alias("ts_str"),
+        F.col("click_event_id").cast("long").alias("click_event_id"),
+        "click_value",
+    )
+
+
+def _q_rollup_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def _q_cube_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+def _q_pivot_priority_status(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_filled"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_partial"),
+        )
+    )
+
+
+def _q_agg_value_stats(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -214,6 +292,22 @@ def _q_text_fingerprint(spark, sf):
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         TXT.fingerprint(F.col("text")).cast("long").alias("fingerprint"),
+    )
+
+
+def _q_doc_tokens_stats(spark, sf):
+    """The input_hint tokenization path: text -> token array (md5 word
+    hashes mod vocab) -> per-doc stats. Arrays stay JVM-side; only scalar
+    stats leave (array-column hashing across engines is representation-
+    sensitive, so the contract compares scalars)."""
+    d = _t(spark, sf, "documents")
+    toks = F.transform(TXT.words(F.col("text")), lambda w: TXT.word_hash(w) % F.lit(50000))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.array_min(toks).cast("long").alias("tok_min"),
+        F.array_max(toks).cast("long").alias("tok_max"),
     )
 
 
@@ -314,10 +408,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "tumbling_window_counts": _q_tumbling_window_counts,
         "set_supplier_only_nations": _q_set_supplier_only_nations,
+        "semi_anti_customers": _q_semi_anti_customers,
+        "asof_last_click": _q_asof_last_click,
+        "rollup_orders": _q_rollup_orders,
+        "cube_lineitem": _q_cube_lineitem,
+        "pivot_priority_status": _q_pivot_priority_status,
+        "agg_value_stats": _q_agg_value_stats,
         "text_token_stats": _q_text_token_stats,
         "text_lang_quality": _q_text_lang_quality,
         "text_fingerprint": _q_text_fingerprint,
         "doc_length_histogram": _q_doc_length_histogram,
+        "doc_tokens_stats": _q_doc_tokens_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -449,7 +550,7 @@ def oracle_sql() -> dict[str, str]:
                           or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
                           then 1 else 0 end as new_sess
               from events window w as (partition by user_id order by ts, event_id))
-            select user_id, sum(new_sess) as n_sessions, count(*) as n_events
+            select user_id, sum(new_sess)::BIGINT as n_sessions, count(*) as n_events
             from g group by user_id
         """,
         "tumbling_window_counts": f"""
@@ -461,6 +562,42 @@ def oracle_sql() -> dict[str, str]:
             select distinct s_nationkey::BIGINT as nationkey from supplier
             except
             select distinct c_nationkey::BIGINT as nationkey from customer
+        """,
+        "semi_anti_customers": """
+            select c_nationkey::BIGINT as nationkey,
+                   count(*) filter (where exists (select 1 from orders o where o.o_custkey = c.c_custkey)) as n_with_orders,
+                   count(*) filter (where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)) as n_without_orders
+            from customer c group by c_nationkey
+        """,
+        "asof_last_click": f"""
+            select l.event_id, l.user_id, strftime(l.ts, '{DUCK_TS_FMT}') as ts_str,
+                   r.event_id as click_event_id, r.value as click_value
+            from (select * from events where event_type = 'purchase') l
+            asof left join (select * from events where event_type = 'click') r
+              on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "rollup_orders": """
+            select o_orderpriority, o_orderstatus, count(*) as n_orders,
+                   round(sum(o_totalprice), 2) as total_price
+            from orders group by rollup (o_orderpriority, o_orderstatus)
+        """,
+        "cube_lineitem": """
+            select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty,
+                   count(*) as n
+            from lineitem group by cube (l_returnflag, l_linestatus)
+        """,
+        "pivot_priority_status": """
+            select o_orderpriority,
+                   count(*) filter (where o_orderstatus = 'O') as n_open,
+                   count(*) filter (where o_orderstatus = 'F') as n_filled,
+                   count(*) filter (where o_orderstatus = 'P') as n_partial
+            from orders group by o_orderpriority
+        """,
+        "agg_value_stats": """
+            select event_type, round(quantile_cont(value, 0.5), 4) as median_value,
+                   round(stddev_samp(value), 4) as stddev_value,
+                   round(avg(value), 4) as avg_value, count(*) as n
+            from events group by event_type
         """,
         "text_token_stats": r"""
             select doc_id,
@@ -494,6 +631,15 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "doc_length_histogram": "select (n_chars // 100)::BIGINT as bucket, count(*) as n_docs from documents group by 1",
+        "doc_tokens_stats": """
+            with T as (select doc_id, list_transform(string_split(trim(text), ' '),
+                         w -> ('0x' || substr(md5(w), 1, 14))::BIGINT % 50000) toks
+                       from documents)
+            select doc_id, len(toks)::BIGINT as n_tok, list_sum(toks)::BIGINT as tok_sum,
+                   list_aggregate(toks, 'min')::BIGINT as tok_min,
+                   list_aggregate(toks, 'max')::BIGINT as tok_max
+            from T
+        """,
         "dedup_exact": """
             with h as (select doc_id, md5(text) ch from documents),
             g as (select ch, min(doc_id) dup_group, count(*) group_size from h group by ch)
@@ -521,32 +667,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_cosine_topk": """
             with E as (select vec_id, embedding::DOUBLE[] v from embeddings),
+            N as (select vec_id, v, sqrt(list_dot_product(v, v)) nrm from E),
+            U as (select vec_id, list_transform(v, x -> x / nrm) u from N),
             scored as (
               select q.vec_id query_id, c.vec_id neighbor_id,
-                     round(list_dot_product(q.v, c.v) /
-                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) similarity
-              from E q join E c on q.vec_id != c.vec_id where q.vec_id < 20),
+                     round(list_dot_product(q.u, c.u), 6) similarity
+              from U q join U c on q.vec_id != c.vec_id where q.vec_id < 20),
             ranked as (select *, row_number() over (partition by query_id
                               order by similarity desc, neighbor_id asc) rank from scored)
             select query_id, neighbor_id, similarity, rank from ranked where rank <= 5
         """,
         "embed_near_dup": """
-            with E as (select vec_id, embedding::DOUBLE[] v from embeddings)
+            with E as (select vec_id, embedding::DOUBLE[] v from embeddings),
+            N as (select vec_id, v, sqrt(list_dot_product(v, v)) nrm from E),
+            U as (select vec_id, list_transform(v, x -> x / nrm) u from N)
             select a.vec_id id_a, b.vec_id id_b,
-                   round(list_dot_product(a.v, b.v) /
-                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) similarity
-            from E a join E b on a.vec_id < b.vec_id
-            where round(list_dot_product(a.v, b.v) /
-                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+                   round(list_dot_product(a.u, b.u), 6) similarity
+            from U a join U b on a.vec_id < b.vec_id
+            where round(list_dot_product(a.u, b.u), 6) >= 0.4
         """,
         "embed_lsh_ann": f"""
             with E as (select vec_id, embedding::DOUBLE[] v from embeddings),
             B as (select vec_id, v, {_lsh_bucket_sql('E')} as bucket from E),
+            N as (select vec_id, bucket, v, sqrt(list_dot_product(v, v)) nrm from B),
+            U as (select vec_id, bucket, list_transform(v, x -> x / nrm) u from N),
             scored as (
               select q.vec_id query_id, c.vec_id neighbor_id,
-                     round(list_dot_product(q.v, c.v) /
-                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) similarity
-              from B q join B c on q.bucket = c.bucket and q.vec_id != c.vec_id
+                     round(list_dot_product(q.u, c.u), 6) similarity
+              from U q join U c on q.bucket = c.bucket and q.vec_id != c.vec_id
               where q.vec_id < 20),
             ranked as (select *, row_number() over (partition by query_id
                               order by similarity desc, neighbor_id asc) rank from scored)

@@ -239,9 +239,10 @@ class LakeTable:
 
     def _write_snapshot_data(
         self, df: DataFrame, version: int, n_buckets: int
-    ) -> tuple[dict[str, list[str]], int, int]:
+    ) -> tuple[dict[str, list[str]], dict[str, dict], int, int]:
         """Write df (already carrying _bucket and _lsn) into one dir per
-        bucket under the snapshot dir; returns (bucket->dirs map, row count).
+        bucket under the snapshot dir; returns (bucket->dirs map,
+        bucket->{rows,live} stats, total rows, total live).
 
         ``_bucket`` is duplicated into a partition-dir column so bucket
         separation is physical (file pruning) while the value also stays
@@ -261,18 +262,27 @@ class LakeTable:
             if name.startswith(f"{_PART_COL}="):
                 b = name.split("=", 1)[1]
                 written[b] = [os.path.join(snapdir, name)]
+        stats: dict[str, dict] = {}
         if written:
+            # one columnar readback (only _bucket/_deleted columns) feeds the
+            # manifest's incremental per-bucket row accounting — no other
+            # count job ever scans historical data (Iceberg keeps the same
+            # stats in its manifests for the same reason)
             back = self.spark.read.parquet(snapdir)
-            counts = back.agg(
-                F.count("*").alias("n"),
-                F.sum(
-                    F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), 0).otherwise(1)
-                ).alias("live"),
-            ).collect()[0]
-            n_rows, n_live = int(counts["n"]), int(counts["live"] or 0)
-        else:
-            n_rows, n_live = 0, 0
-        return written, n_rows, n_live
+            rows = (
+                back.groupBy(BUCKET_COL)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), 0).otherwise(1)
+                    ).alias("live"),
+                )
+                .collect()
+            )
+            stats = {str(r[BUCKET_COL]): {"rows": int(r["n"]), "live": int(r["live"] or 0)} for r in rows}
+        n_rows = sum(v["rows"] for v in stats.values())
+        n_live = sum(v["live"] for v in stats.values())
+        return written, stats, n_rows, n_live
 
     def write(
         self,
@@ -301,15 +311,20 @@ class LakeTable:
             staged = staged.withColumn(LSN_COL, F.lit(None).cast("long"))
         staged = staged.withColumn(DELETED_COL, F.lit(False))
         version = m["version"] + 1
-        written, n_new, _live_new = self._write_snapshot_data(staged, version, n_buckets)
+        written, wstats, n_new, _live_new = self._write_snapshot_data(staged, version, n_buckets)
 
         if mode == "overwrite":
             buckets = written
+            bucket_stats = wstats
             total = n_new
         elif mode == "append":
             buckets = {k: list(v) for k, v in m["buckets"].items()}
+            bucket_stats = {k: dict(v) for k, v in m.get("bucket_stats", {}).items()}
             for b, dlist in written.items():
                 buckets.setdefault(b, []).extend(dlist)
+                bs = bucket_stats.setdefault(b, {"rows": 0, "live": 0})
+                bs["rows"] += wstats[b]["rows"]
+                bs["live"] += wstats[b]["live"]
             total = m["summary"].get("total_rows", 0) + n_new
         else:
             raise ValueError(f"unknown write mode {mode!r}")
@@ -323,6 +338,7 @@ class LakeTable:
             committed_epochs=sorted(set(m.get("committed_epochs", [])) | ({epoch_id} if epoch_id is not None else set())),
             schema=json.loads(new_schema.json()),
             buckets=buckets,
+            bucket_stats=bucket_stats,
             summary={"total_rows": total, "operation": mode, "rows_written": n_new},
             lineage=(lineage or []),
         )
@@ -341,6 +357,7 @@ class LakeTable:
             epoch_id=None,
             committed_epochs=[],
             buckets={},
+            bucket_stats={},
             summary={"total_rows": 0, "operation": "truncate"},
             lineage=[],
         )
@@ -367,6 +384,7 @@ class LakeTable:
         """
         if not self.exists():
             raise ValueError(f"no lake table at {self.path}")
+        _t0 = time.time()
         m = self.manifest()
         if epoch_id is not None and epoch_id in set(m.get("committed_epochs", [])):
             return {"operation": "skip", "reason": "epoch already committed", "epoch_id": epoch_id}
@@ -385,11 +403,17 @@ class LakeTable:
 
         src = changes.withColumn(BUCKET_COL, self._bucket_expr(key, n_buckets))
         src = src.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+        # The deduped batch is consumed twice (affected-bucket discovery +
+        # the MERGE join). Persisting it avoids re-running the upstream
+        # dedup aggregation over the raw batch — the deduped set is at most
+        # one row per key, far smaller than the batch.
+        src = src.persist()
 
         # Affected-bucket pruning: only buckets containing changed keys are
         # read and rewritten. The distinct-bucket list is tiny (≤ n_buckets
         # ints) — the one deliberate collect in the merge path.
         affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+        _t_dedup = time.time()
         target = self.read(buckets=affected, include_system=True)
         target = _conform(target, new_schema, keep_system=True)
 
@@ -433,23 +457,20 @@ class LakeTable:
         )
 
         version = m["version"] + 1
-        written, n_affected_rows, n_affected_live = self._write_snapshot_data(resolved, version, n_buckets)
+        written, wstats, n_affected_rows, n_affected_live = self._write_snapshot_data(resolved, version, n_buckets)
+        _t_write = time.time()
 
         buckets = {k: list(v) for k, v in m["buckets"].items() if int(k) not in set(affected)}
         buckets.update(written)  # carry forward untouched buckets, swap affected
 
-        prev_total = m["summary"].get("total_rows", 0)
-        prev_affected_live = 0
-        if affected:
-            prev_affected_dirs = [d for b, dl in m["buckets"].items() if int(b) in set(affected) for d in dl]
-            if prev_affected_dirs:
-                prev_affected_live = (
-                    self.spark.read.schema(self._read_schema(m))
-                    .parquet(*prev_affected_dirs)
-                    .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-                    .count()
-                )
-        total = prev_total - prev_affected_live + n_affected_live
+        # incremental live-row accounting from manifest bucket stats — no
+        # scan of historical data (fallback scan only for pre-stats tables)
+        prev_stats = m.get("bucket_stats")
+        if prev_stats is None:
+            prev_stats = self._recompute_bucket_stats(m)
+        bucket_stats = {k: dict(v) for k, v in prev_stats.items() if int(k) not in set(affected)}
+        bucket_stats.update(wstats)
+        total = sum(v["live"] for v in bucket_stats.values())
 
         new_m = dict(m)
         new_m.update(
@@ -460,6 +481,7 @@ class LakeTable:
             committed_epochs=sorted(set(m.get("committed_epochs", [])) | ({epoch_id} if epoch_id is not None else set())),
             schema=json.loads(new_schema.json()),
             buckets=buckets,
+            bucket_stats=bucket_stats,
             summary={
                 "operation": "merge",
                 "total_rows": total,
@@ -467,11 +489,35 @@ class LakeTable:
                 "live_rows_written": n_affected_live,
                 "buckets_affected": len(affected),
                 "epoch_id": epoch_id,
+                "merge_phase_sec": {
+                    "dedup_and_bucket_discovery": round(_t_dedup - _t0, 2),
+                    "join_and_write": round(_t_write - _t_dedup, 2),
+                    "count_bookkeeping": round(time.time() - _t_write, 2),
+                },
             },
             lineage=(lineage or []),
         )
+        src.unpersist()
         self._publish(new_m)
         return new_m["summary"]
+
+    def _recompute_bucket_stats(self, m: dict) -> dict[str, dict]:
+        """Full-scan fallback for manifests written before bucket_stats
+        existed (only the _bucket/_deleted columns are read)."""
+        dirs = [d for dl in m["buckets"].values() for d in dl]
+        if not dirs:
+            return {}
+        rows = (
+            self.spark.read.schema(self._read_schema(m))
+            .parquet(*dirs)
+            .groupBy(BUCKET_COL)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), 0).otherwise(1)).alias("live"),
+            )
+            .collect()
+        )
+        return {str(r[BUCKET_COL]): {"rows": int(r["n"]), "live": int(r["live"] or 0)} for r in rows}
 
     # ------------------------------------------------------------ utilities
 
@@ -499,13 +545,14 @@ class LakeTable:
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         version = m["version"] + 1
-        written, n, n_live = self._write_snapshot_data(df, version, m["n_buckets"])
+        written, wstats, n, n_live = self._write_snapshot_data(df, version, m["n_buckets"])
         new_m = dict(m)
         new_m.update(
             version=version,
             snapshot_id=uuid.uuid4().hex,
             parent=m["snapshot_id"],
             buckets=written,
+            bucket_stats=wstats,
             summary={"operation": "compact", "total_rows": n_live, "rows_written": n},
         )
         self._publish(new_m)

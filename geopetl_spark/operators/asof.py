@@ -1,0 +1,74 @@
+"""As-of (time-travel) join: for each left row, the most recent right row
+with the same key and ``right_ts <= left_ts``.
+
+Spark has no native as-of join (SURVEY §2.7 gap list). This implementation
+is the union-sort-carry composition — one shuffle + one per-key sort, no
+Python:
+
+1. tag right rows ``_side=0`` and left rows ``_side=1``;
+2. union on the common (key, ts) spine;
+3. per key, sort by (ts, _side) — a right row at the exact left timestamp
+   sorts first, making the join boundary inclusive (matches DuckDB
+   ``ASOF JOIN``'s ``>=``);
+4. ``last(right_col, ignorenulls=True)`` over the running window carries the
+   latest right values forward;
+5. keep only left rows.
+
+At scale this is strictly cheaper than the windowed-equi-join alternative
+(bucketize ts + equi-join + filter): one shuffle of |L|+|R| rows on the key,
+sort amortized by Spark's shuffle sort machinery. Skewed keys fall under the
+same salting rules as the CDC dedup (hot keys = many rows per key partition,
+handled by AQE local sorts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join. Right columns appear as ``<col><suffix>``; left rows
+    with no prior right row get NULLs (LEFT ASOF semantics)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    spine = l_tag.unionByName(r_tag)
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = spine.select(
+        "_side",
+        "_lrow",
+        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_c_{c}") for c in right_cols],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col("_lrow.*"),
+        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out

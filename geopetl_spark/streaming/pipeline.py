@@ -77,6 +77,7 @@ def apply_epoch(
     if cfg.sanitize:
         batch = sanitize_tokens(batch, vocab_size=cfg.vocab_size)
     plineage = partition_lineage(batch, lsn_col=cfg.lsn_col)
+    t_lineage = time.time()
     deduped = latest_per_key(
         batch,
         key_col=cfg.key_col,
@@ -93,6 +94,8 @@ def apply_epoch(
         lineage=plineage,
     )
     t1 = time.time()
+    summary = dict(summary)
+    summary["phase_sec"] = {"lineage": round(t_lineage - t0, 2), "merge": round(t1 - t_lineage, 2)}
     n_rows = sum(p["rows"] for p in plineage)
     if lineage_log is not None:
         lineage_log.record(
