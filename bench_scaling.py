@@ -213,14 +213,15 @@ def main():
             "efficiency_vs_bandwidth_ceiling": round(eff / max(bw_ceiling, 1e-9), 3),
         }
         print(json.dumps(result))
-        write_report(result, r_n, r_xn)
+        write_report(result, r_n, r_xn)  # raw per-run report; the curated
+        # multi-session campaign lives in BENCH/BASELINE.md (hand-maintained)
     finally:
         shutil.rmtree(gen_dir, ignore_errors=True)
 
 
 def write_report(result: dict, r_n: dict, r_xn: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
+    with open("BENCH/last_scaling_run.md", "w") as fh:
         fh.write(f"""# BENCH — scaling-efficiency evidence (two-cluster-size criterion)
 
 Per `BASELINE.md §3`: no real multi-node cluster exists in this sandbox, so

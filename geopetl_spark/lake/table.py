@@ -65,6 +65,11 @@ _PART_COL = "_bucket_p"  # physical partition dir column (duplicated from _bucke
 _SYSTEM_COLS = (BUCKET_COL, LSN_COL, DELETED_COL)
 
 
+class CommitConflict(Exception):
+    """Another writer committed the same table version first (optimistic
+    concurrency loser); re-read the table state and retry the operation."""
+
+
 class LakeTable:
     """A versioned, hash-bucketed, copy-on-write parquet table."""
 
@@ -131,10 +136,23 @@ class LakeTable:
         return os.path.join(self.manifest_dir, f"manifest-{version:08d}.json")
 
     def _publish(self, manifest: dict) -> None:
+        """Optimistic-concurrency commit: the manifest version file is
+        created with O_EXCL — two writers racing to publish the same next
+        version see exactly one winner; the loser gets CommitConflict and
+        must re-read the table and retry its operation (same contract as
+        Iceberg's atomic swap). The pointer swap after that is atomic."""
         mpath = self._manifest_path(manifest["version"])
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"version {manifest['version']} was committed concurrently at {self.path}"
+            ) from None
+        os.close(fd)
         os.replace(tmp, mpath)
         ptr_tmp = self.current_ptr + f".tmp-{uuid.uuid4().hex}"
         with open(ptr_tmp, "w") as fh:
@@ -155,8 +173,11 @@ class LakeTable:
         out = []
         for name in sorted(os.listdir(self.manifest_dir)):
             if name.startswith("manifest-") and name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as fh:
-                    m = json.load(fh)
+                try:
+                    with open(os.path.join(self.manifest_dir, name)) as fh:
+                        m = json.load(fh)
+                except json.JSONDecodeError:
+                    continue  # in-flight concurrent commit (O_EXCL placeholder)
                 out.append(
                     {
                         "version": m["version"],
@@ -500,6 +521,53 @@ class LakeTable:
         src.unpersist()
         self._publish(new_m)
         return new_m["summary"]
+
+    def vacuum(self, keep_last_versions: int = 1) -> dict:
+        """Delete snapshot data directories not referenced by the last
+        ``keep_last_versions`` manifests (and drop the older manifests).
+        Reclaims copy-on-write garbage + orphans from crashed commits.
+        Time travel remains possible only within the kept window."""
+        import shutil
+
+        current = self.manifest()
+        keep_versions = set(range(max(current["version"] - keep_last_versions + 1, 0), current["version"] + 1))
+        referenced: set[str] = set()
+        kept_manifests: set[str] = set()
+        for v in keep_versions:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            kept_manifests.add(os.path.basename(self._manifest_path(v)))
+            for dl in m["buckets"].values():
+                referenced.update(os.path.normpath(d) for d in dl)
+
+        removed_dirs = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for snap in sorted(os.listdir(data_root)):
+                snapdir = os.path.join(data_root, snap)
+                if not os.path.isdir(snapdir):
+                    continue
+                live = [
+                    d for d in os.listdir(snapdir)
+                    if os.path.normpath(os.path.join(snapdir, d)) in referenced
+                ]
+                if not live:
+                    shutil.rmtree(snapdir)
+                    removed_dirs += 1
+                else:
+                    for d in os.listdir(snapdir):
+                        full = os.path.normpath(os.path.join(snapdir, d))
+                        if full not in referenced and os.path.isdir(full):
+                            shutil.rmtree(full)
+                            removed_dirs += 1
+        removed_manifests = 0
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("manifest-") and name not in kept_manifests:
+                os.unlink(os.path.join(self.manifest_dir, name))
+                removed_manifests += 1
+        return {"removed_data_dirs": removed_dirs, "removed_manifests": removed_manifests}
 
     def _recompute_bucket_stats(self, m: dict) -> dict[str, dict]:
         """Full-scan fallback for manifests written before bucket_stats
