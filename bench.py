@@ -71,7 +71,7 @@ def bench_cdc(spark) -> dict:
             log,
             CDC_EVENTS,
             n_keys=max(CDC_EVENTS // 20, 1000),
-            events_per_epoch=max(CDC_EVENTS // 4, 10_000),
+            events_per_epoch=max(CDC_EVENTS // 2, 10_000),
             n_hot=7,
             hot_fraction=0.15,
         )

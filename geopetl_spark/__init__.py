@@ -29,8 +29,19 @@ from .schema import (
 from .sources.readers import from_parquet, from_csv, from_json, from_table
 from .sources.registry import read_source, write_sink
 from .sources.cdc_gen import generate_cdc_events, write_cdc_log
-from .lake.table import LakeTable
+from .lake.table import CommitConflict, LakeTable
 from .operators.dedup_cdc import latest_per_key, latest_per_key_window, dedup_exact_events
+from .operators.dedup_text import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .operators.ann import cosine_topk, embedding_near_dup_pairs, lsh_bucketed_topk
+from .operators.asof import asof_join
+from .functions.sql_registry import register_sql_functions
+from . import catalog
 from .transforms import sanitize_tokens, normalize_strings, reproject_tokens
 
 
@@ -54,4 +65,8 @@ __all__ = [
     "sanitize_tokens", "normalize_strings", "reproject_tokens",
     "schema_to_doc", "doc_to_schema", "write_schema_doc", "read_schema_doc",
     "diff_schemas", "evolve_schema",
+    "CommitConflict", "catalog", "asof_join", "register_sql_functions",
+    "exact_dup_groups", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "simhash", "simhash_pairs",
+    "cosine_topk", "lsh_bucketed_topk", "embedding_near_dup_pairs",
 ]
