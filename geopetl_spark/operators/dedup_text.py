@@ -48,13 +48,26 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct n-gram word shingles per doc (exploded): the inverted index."""
-    return (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+    """Distinct n-gram word shingles per doc (exploded): the inverted index.
+
+    The words array is materialized ONCE per row behind an opaque() barrier:
+    without it CollapseProject inlines split(text) into every element_at of
+    the shingle transform, re-splitting the text O(shingles*n) times per doc
+    (measured 10s -> ~1s for the explode at sf0.1)."""
+    from ..plans.barriers import opaque
+
+    ws = docs.select(
+        F.col(id_col).alias("_id"),
+        opaque(F.split(F.trim(F.col(text_col)), r"\s+"), seed=11).alias("_ws"),
+    )
+    w = F.col("_ws")
+    shingles = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
         )
     )
+    return ws.select("_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
