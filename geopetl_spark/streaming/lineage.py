@@ -84,3 +84,27 @@ class LineageLog:
                 except json.JSONDecodeError:
                     break
         return out
+
+
+def read_lineage(spark, checkpoint_path: str):
+    """The lineage log as a DataFrame (observability surface): one row per
+    epoch with rows, events/sec, commit summary, snapshot id."""
+    log = LineageLog(checkpoint_path)
+    entries = log.read()
+    if not entries:
+        raise ValueError(f"no lineage at {checkpoint_path}")
+    flat = [
+        {
+            "epoch": str(e["epoch"]),
+            "rows": e["rows"],
+            "events_per_sec": e["events_per_sec"],
+            "elapsed_sec": e["elapsed_sec"],
+            "snapshot_id": e.get("snapshot_id"),
+            "n_partitions": len(e.get("partitions", [])),
+            "min_lsn": min((p["min_lsn"] for p in e.get("partitions", []) if p.get("min_lsn") is not None), default=None),
+            "max_lsn": max((p["max_lsn"] for p in e.get("partitions", []) if p.get("max_lsn") is not None), default=None),
+            "rows_quarantined": (e.get("commit") or {}).get("rows_quarantined", 0),
+        }
+        for e in entries
+    ]
+    return spark.createDataFrame(flat)

@@ -49,6 +49,9 @@ class IngestConfig:
     vocab_size: int | None = None
     n_salts: int = 32
     sanitize: bool = True
+    quarantine: bool = True  # split events with null key/LSN into a
+    # side-channel instead of poisoning the MERGE (a null key would
+    # otherwise land as a junk row; a null LSN breaks ordering semantics)
 
 
 @dataclass
@@ -76,6 +79,15 @@ def apply_epoch(
     t0 = time.time()
     if cfg.sanitize:
         batch = sanitize_tokens(batch, vocab_size=cfg.vocab_size)
+    n_quarantined = 0
+    if cfg.quarantine:
+        valid_pred = F.col(cfg.key_col).isNotNull() & F.col(cfg.lsn_col).isNotNull()
+        bad = batch.filter(~valid_pred)
+        if not bad.isEmpty():
+            qdir = f"{cfg.checkpoint_path}/quarantine/epoch={epoch}"
+            bad.write.mode("overwrite").parquet(qdir)
+            n_quarantined = spark.read.parquet(qdir).count()
+            batch = batch.filter(valid_pred)
     plineage = partition_lineage(batch, lsn_col=cfg.lsn_col)
     t_lineage = time.time()
     deduped = latest_per_key(
@@ -96,6 +108,7 @@ def apply_epoch(
     t1 = time.time()
     summary = dict(summary)
     summary["phase_sec"] = {"lineage": round(t_lineage - t0, 2), "merge": round(t1 - t_lineage, 2)}
+    summary["rows_quarantined"] = n_quarantined
     n_rows = sum(p["rows"] for p in plineage)
     if lineage_log is not None:
         lineage_log.record(
