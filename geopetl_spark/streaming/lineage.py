@@ -22,17 +22,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def partition_lineage(batch: DataFrame, lsn_col: str = "lsn") -> list[dict]:
-    """Per-input-partition offsets and counts for one micro-batch."""
-    rows = (
-        batch.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("rows"),
-            F.min(lsn_col).alias("min_lsn"),
-            F.max(lsn_col).alias("max_lsn"),
-        )
-        .collect()
-    )
+def partition_lineage(
+    batch: DataFrame, lsn_col: str = "lsn", invalid_pred=None
+) -> list[dict]:
+    """Per-input-partition offsets and counts for one micro-batch. When
+    ``invalid_pred`` is given, poison-row counts ride the same aggregation —
+    data-quality accounting costs zero extra jobs."""
+    aggs = [
+        F.count("*").alias("rows"),
+        F.min(lsn_col).alias("min_lsn"),
+        F.max(lsn_col).alias("max_lsn"),
+    ]
+    if invalid_pred is not None:
+        aggs.append(F.sum(F.when(invalid_pred, 1).otherwise(0)).alias("invalid_rows"))
+    rows = batch.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs).collect()
     return [r.asDict() for r in rows]
 
 

@@ -82,13 +82,18 @@ def apply_epoch(
     n_quarantined = 0
     if cfg.quarantine:
         valid_pred = F.col(cfg.key_col).isNotNull() & F.col(cfg.lsn_col).isNotNull()
-        bad = batch.filter(~valid_pred)
-        if not bad.isEmpty():
+        # invalid counts ride the lineage aggregation — no extra job when
+        # the batch is clean (the common case)
+        plineage = partition_lineage(batch, lsn_col=cfg.lsn_col, invalid_pred=~valid_pred)
+        n_quarantined = sum(p.pop("invalid_rows", 0) or 0 for p in plineage)
+        if n_quarantined:
             qdir = f"{cfg.checkpoint_path}/quarantine/epoch={epoch}"
-            bad.write.mode("overwrite").parquet(qdir)
-            n_quarantined = spark.read.parquet(qdir).count()
+            batch.filter(~valid_pred).write.mode("overwrite").parquet(qdir)
             batch = batch.filter(valid_pred)
-    plineage = partition_lineage(batch, lsn_col=cfg.lsn_col)
+            for p in plineage:
+                p["rows_note"] = "pre-quarantine counts"
+    else:
+        plineage = partition_lineage(batch, lsn_col=cfg.lsn_col)
     t_lineage = time.time()
     deduped = latest_per_key(
         batch,

@@ -34,8 +34,10 @@ def test_null_key_and_lsn_rows_quarantined(spark, tmp_path):
 
     lin = read_lineage(spark, cfg.checkpoint_path)
     row = lin.collect()[0]
-    assert row["rows_quarantined"] == 2 and row["rows"] == 1
-    assert row["min_lsn"] == 3 and row["max_lsn"] == 3
+    # lineage records what ARRIVED from the source (pre-quarantine): 3 rows
+    # in, 2 quarantined, 1 applied
+    assert row["rows"] == 3 and row["rows_quarantined"] == 2
+    assert row["min_lsn"] == 1 and row["max_lsn"] == 3
 
 
 def test_clean_batch_quarantines_nothing(spark, tmp_path):
