@@ -1,0 +1,3 @@
+from .barriers import opaque
+
+__all__ = ["opaque"]
