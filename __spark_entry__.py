@@ -436,7 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # shared SQL fragments -------------------------------------------------------
 
 _SHINGLES_CTE = """
-W as (select doc_id, string_split(trim(text), ' ') ws from documents),
+W as (select doc_id, string_split_regex(trim(text), '\\s+') ws from documents),
 SH as (select doc_id, list_distinct(list_transform(range(len(ws)-2),
         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) s from W),
 EX as (select doc_id, unnest(s) sh from SH),
@@ -462,7 +462,7 @@ _BAND_SQL = " union all ".join(
 )
 
 _SIMHASH_CTE = """
-WRD as (select doc_id, unnest(string_split(trim(text), ' ')) w from documents),
+WRD as (select doc_id, unnest(string_split_regex(trim(text), '\\s+')) w from documents),
 H as (select doc_id, ('0x' || substr(md5(w), 1, 14))::BIGINT h from WRD),
 PB as (select doc_id, j, sum(case when (h >> j) & 1 = 1 then 1 else -1 end) s
        from H cross join (select unnest(range(48)) j) bits group by doc_id, j),
@@ -486,7 +486,7 @@ def oracle_sql() -> dict[str, str]:
     for lang in sorted(TXT.STOPWORDS):
         sw = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lang])
         stopword_cases.append(
-            f"len(list_filter(string_split(trim(text), ' '), x -> x in ({sw}))) as hits_{lang}"
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x in ({sw}))) as hits_{lang}"
         )
     lang_best = (
         "case when greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 then 'und' "
@@ -625,14 +625,14 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             select doc_id,
                    list_reduce(list_prepend(0::BIGINT,
-                     list_transform(string_split(trim(text), ' '),
+                     list_transform(string_split_regex(trim(text), '\\s+'),
                        w -> ('0x' || substr(md5(w), 1, 14))::BIGINT % 1000000007)),
                      (a, b) -> (a * 31 + b) % 1000000007) as fingerprint
             from documents
         """,
         "doc_length_histogram": "select (n_chars // 100)::BIGINT as bucket, count(*) as n_docs from documents group by 1",
         "doc_tokens_stats": """
-            with T as (select doc_id, list_transform(string_split(trim(text), ' '),
+            with T as (select doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
                          w -> ('0x' || substr(md5(w), 1, 14))::BIGINT % 50000) toks
                        from documents)
             select doc_id, len(toks)::BIGINT as n_tok, list_sum(toks)::BIGINT as tok_sum,

@@ -256,7 +256,13 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)).cast("int")
 
     def _snapshot_dir(self, version: int) -> str:
-        return os.path.join(self.path, "data", f"snap-{version:08d}")
+        # Unique per commit ATTEMPT, not per version: two writers racing to
+        # version v each write their own data dir, so the O_EXCL manifest
+        # check in _publish is the only arbiter — the loser's mode-overwrite
+        # can never clobber the winner's just-written files. The manifest
+        # stores explicit dir lists, so readers never guess the dir name;
+        # vacuum() reclaims losers' orphans.
+        return os.path.join(self.path, "data", f"snap-{version:08d}-{uuid.uuid4().hex[:8]}")
 
     def _write_snapshot_data(
         self, df: DataFrame, version: int, n_buckets: int
@@ -356,7 +362,7 @@ class LakeTable:
             snapshot_id=uuid.uuid4().hex,
             parent=m["snapshot_id"],
             epoch_id=epoch_id,
-            committed_epochs=sorted(set(m.get("committed_epochs", [])) | ({epoch_id} if epoch_id is not None else set())),
+            committed_epochs=_merge_epochs(m.get("committed_epochs", []), epoch_id),
             schema=json.loads(new_schema.json()),
             buckets=buckets,
             bucket_stats=bucket_stats,
@@ -499,7 +505,7 @@ class LakeTable:
             snapshot_id=uuid.uuid4().hex,
             parent=m["snapshot_id"],
             epoch_id=epoch_id,
-            committed_epochs=sorted(set(m.get("committed_epochs", [])) | ({epoch_id} if epoch_id is not None else set())),
+            committed_epochs=_merge_epochs(m.get("committed_epochs", []), epoch_id),
             schema=json.loads(new_schema.json()),
             buckets=buckets,
             bucket_stats=bucket_stats,
@@ -625,6 +631,15 @@ class LakeTable:
         )
         self._publish(new_m)
         return new_m["summary"]
+
+
+def _merge_epochs(old: list, epoch_id) -> list:
+    """Record epoch_id into the committed-epoch set. Sorted with a type-stable
+    key: batch epochs are ints while stream epochs are strings
+    ('stream-{batch_id}'), and a bare sorted() on the mixed set raises
+    TypeError, bricking every subsequent commit to the table."""
+    s = set(old) | ({epoch_id} if epoch_id is not None else set())
+    return sorted(s, key=lambda e: (isinstance(e, str), str(e)))
 
 
 def _user_schema(df: DataFrame) -> T.StructType:

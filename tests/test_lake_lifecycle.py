@@ -86,6 +86,47 @@ def test_commit_conflict_one_winner(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_concurrent_writers_do_not_clobber_data(spark, tmp_path):
+    """Two writers racing to the same next VERSION write disjoint data dirs:
+    the loser's mode-overwrite parquet write must never delete the winner's
+    files (the manifest O_EXCL race only arbitrates the manifest — the data
+    path must be conflict-free by construction)."""
+    t = LakeTable(spark, str(tmp_path / "lake")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    m = t.manifest()
+    v = m["version"] + 1
+    staged_a = spark.createDataFrame([("a", [1], 1, "s")], DOC_SCHEMA)
+    staged_a = staged_a.withColumn("_bucket", t._bucket_expr("doc_id", 4)).withColumn(
+        "_lsn", F.lit(1).cast("long")).withColumn("_deleted", F.lit(False))
+    staged_b = spark.createDataFrame([("b", [2], 1, "s")], DOC_SCHEMA)
+    staged_b = staged_b.withColumn("_bucket", t._bucket_expr("doc_id", 4)).withColumn(
+        "_lsn", F.lit(1).cast("long")).withColumn("_deleted", F.lit(False))
+    written_a, _, n_a, _ = t._write_snapshot_data(staged_a, v, 4)
+    written_b, _, n_b, _ = t._write_snapshot_data(staged_b, v, 4)  # same version!
+    dirs_a = {d for dl in written_a.values() for d in dl}
+    dirs_b = {d for dl in written_b.values() for d in dl}
+    assert dirs_a.isdisjoint(dirs_b)
+    # winner A's files are intact and readable after B's overwrite-mode write
+    assert spark.read.parquet(*sorted(dirs_a)).count() == n_a == 1
+    assert n_b == 1
+
+
+def test_mixed_int_and_str_epoch_ids(spark, tmp_path):
+    """Batch ingest uses int epochs, stream ingest uses 'stream-{n}' strings;
+    a table that has seen both must keep committing (regression: bare
+    sorted() on the mixed set raised TypeError)."""
+    t = LakeTable(spark, str(tmp_path / "lake")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    def batch(k, lsn):
+        return spark.createDataFrame(
+            [(k, [1], 1, "s", "U", lsn)],
+            "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+        )
+    t.merge(batch("k1", 1), epoch_id=0)
+    t.merge(batch("k2", 2), epoch_id="stream-0")
+    t.merge(batch("k3", 3), epoch_id=1)  # would raise before the fix
+    assert set(t.committed_epochs()) == {0, "stream-0", 1}
+    assert t.read().count() == 3
+
+
 # ---------------------------------------------------------------------------
 # Reference test-strategy carry-over (SURVEY §5): golden edge-case rows
 # round-tripped through the sink and compared field by field. Edge content
