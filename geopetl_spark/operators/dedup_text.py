@@ -4,12 +4,22 @@ fill) — all pure DataFrame compositions, no UDFs, designed to scale:
 
 * exact dedup      — one hash-groupBy (map-side combinable);
 * n-gram Jaccard   — inverted-index self-join on shingles (never a cross
-                     join: candidate generation cost ∝ shared-shingle pairs);
+                     join) with a document-frequency cap: a shingle present
+                     in f docs emits O(f²) candidate rows, so shingles with
+                     df above ``max_shingle_df`` are dropped from candidate
+                     generation (they carry ~no signal for high-Jaccard
+                     decisions); Jaccard itself is then computed EXACTLY on
+                     the full per-doc shingle sets, so the cap affects only
+                     recall of pairs whose every shared shingle is frequent.
 * MinHash-LSH      — shingle → k minhashes → b bands → band-bucket equi-join;
-                     candidate pairs verified with exact Jaccard. The
-                     standard sub-quadratic near-dup pipeline.
-* SimHash          — 48-bit fingerprint; banded join (pigeonhole on 4 chunks)
-                     + Hamming-distance verify via bit_count(xor).
+                     exact Jaccard computed for the LSH candidates ONLY
+                     (set-intersect per candidate pair — the quadratic
+                     shingle-pair space is never touched). The standard
+                     sub-quadratic near-dup pipeline.
+* SimHash          — 48-bit fingerprint via ONE words-explode + one groupBy
+                     with 48 conditional sums (no bits×words row blowup);
+                     banded join (pigeonhole on 4 chunks) + Hamming verify
+                     via bit_count(xor).
 
 Hash determinism: every hash bottoms out in md5 (cross-engine reproducible),
 and all modular arithmetic stays far below 2^63 so ANSI overflow checks never
@@ -70,32 +80,24 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return ws.select("_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    n: int = 2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
-
-    |A ∩ B| comes from the shingle self-join; |A ∪ B| = |A| + |B| - |A ∩ B|.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
-    """
-    sh = _shingles(docs, text_col, id_col, n).cache()
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+def _shingle_sets(sh: DataFrame) -> DataFrame:
+    """Per-doc full shingle set (array) + its size. Bounded by doc length —
+    the verify side's join payload, never the pair space."""
+    return sh.groupBy("_id").agg(
+        F.collect_list("shingle").alias("_set"), F.count("*").alias("n_sh")
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+
+
+def _verify_pairs(candidates: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs ONLY: join each side to its full
+    shingle set and set-intersect per pair. Cost ∝ |candidates|·doc_size,
+    independent of the corpus-wide shingle-pair space."""
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("n_sh").alias("n_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
@@ -103,7 +105,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Candidate generation drops shingles with document frequency above
+    ``max_shingle_df`` (a df-f shingle alone emits f(f-1)/2 join rows — at
+    web scale one stopword shingle is a quadratic bomb). Jaccard is then
+    computed exactly on the FULL shingle sets of each candidate pair, so the
+    cap cannot change any emitted value; it can only miss a pair whose every
+    shared shingle is more frequent than the cap — vanishingly unlikely for
+    high thresholds. ``max_shingle_df=None`` disables the cap (exhaustive).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+    """
+    sh = _shingles(docs, text_col, id_col, n).persist()
+    index = sh
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        index = sh.join(keep, "shingle")  # map-side-combined df count, then semi-ish join
+    a = index.alias("a")
+    b = index.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs(candidates, _shingle_sets(sh), threshold)
 
 
 def _minhash_sig_cols(n_hashes: int):
@@ -130,11 +170,12 @@ def minhash_lsh_pairs(
 
     With b=4 bands × r=4 rows the candidate threshold is ~(1/b)^(1/r) ≈ 0.71;
     pairs above ``threshold`` (default 0.5) that share at least one band are
-    emitted after exact verification — at 100 TB the verification join touches
-    only candidate pairs, never the quadratic space.
+    emitted after exact verification — the verification is a per-candidate
+    set intersection against the full shingle sets, so at 100 TB the cost is
+    |candidates|·doc_size; the quadratic shingle-pair space is never joined.
     """
     k = bands * rows_per_band
-    sh = _shingles(docs, text_col, id_col, n)
+    sh = _shingles(docs, text_col, id_col, n).persist()
     hashed = sh.withColumn(
         "_x", F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long") % F.lit(_MINHASH_PRIME)
     )
@@ -164,12 +205,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, text_col=text_col, id_col=id_col)
-    return (
-        candidates.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs(candidates, _shingle_sets(sh), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -182,29 +218,29 @@ _SIMHASH_BITS = 48  # 48 bits keeps 2^j sums far from bigint overflow
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """48-bit SimHash per document from md5 word hashes.
 
-    Implementation is explode-free on the doc axis: per (doc, bit) counts via
-    one explode of words × a 48-element bit array, then a groupBy — two
-    shuffles total, all built-ins.
+    One explode (words only — never words×bits) and ONE groupBy carrying 48
+    conditional-sum aggregates, one per bit; the bit shifts are literal so
+    everything stays in whole-stage codegen and the aggregation is map-side
+    combinable. The previous words×48 bit-explode shuffled 48× the rows for
+    the same answer.
     """
     wh = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).withColumn("h", word_hash(F.col("w")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j")
-    per_bit = (
-        wh.select("_id", "h", bit)
-        # SQL shiftright/shiftleft via expr: the PySpark wrappers require a
-        # literal bit count, but here the shift amount is the exploded column
-        .withColumn("contrib", F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1))
-        .groupBy("_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return (
-        per_bit.withColumn("bitval", F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0).cast("long")))
-        .groupBy("_id")
-        .agg(F.sum("bitval").alias("simhash"))
-        .select(F.col("_id").alias("doc_id"), "simhash")
-    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    agg = wh.groupBy("_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for j in range(_SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col("_id").alias("doc_id"), sim.alias("simhash"))
 
 
 def simhash_pairs(

@@ -68,29 +68,48 @@ def parse_timestamps(df: DataFrame, cols: dict[str, str]) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Pandas-UDF template (the ReprojectView analog): payload transform that
-# genuinely needs Python runs Arrow-batched, never row-at-a-time.
+# Reproject analog. The PRIMARY path is a built-in higher-order function —
+# an affine remap never needs Python at all (JVM, whole-stage codegen). The
+# pandas UDF below is the template for transforms that genuinely need Python
+# (numpy/scipy on the whole Arrow batch) — and it must operate on the batch
+# as flat numpy arrays, never `.map` per row.
 # ---------------------------------------------------------------------------
 
+def reproject_tokens(df: DataFrame, tokens_col: str, scale: float, offset: int) -> DataFrame:
+    """``etl.reproject`` analog (transform/reproject.py:6-41), JVM-side: the
+    elementwise affine remap compiles to ``transform(tokens, x -> ...)`` in
+    whole-stage codegen — no Python on the hot path. In Spark the reference's
+    chained 'view' is just withColumn, and its must-directly-follow-source
+    limitation (reproject.py:25-26) disappears because metadata travels in
+    the schema."""
+    return df.withColumn(
+        tokens_col,
+        F.transform(F.col(tokens_col), lambda x: (x * F.lit(scale)).cast("int") + F.lit(int(offset))),
+    )
+
+
 def make_affine_transform_udf(scale: float, offset: int):
-    """Template vectorized payload transform (stands in for reprojection:
-    an elementwise remap of every value in the payload array). Uses a
-    pandas UDF over array<int> — one Arrow batch per invocation.
-    Reference analog: WktTransformer.transform (reproject_util.py:17-23),
-    which remaps every coordinate of every geometry row-by-row."""
+    """Template for payload transforms that genuinely need Python (the
+    ReprojectView analog for numpy-class work, reproject_util.py:17-23).
+
+    The pattern that scales: flatten the whole Arrow batch to ONE contiguous
+    numpy array, apply the math once, and re-split at the original offsets.
+    Per-row ``.map`` inside a pandas UDF is row-at-a-time Python with Arrow
+    shipping costs on top — the worst of both worlds."""
+    import numpy as np
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def remap(tokens: pd.Series) -> pd.Series:
-        return tokens.map(
-            lambda arr: None if arr is None else [int(x * scale) + offset for x in arr]
-        )
+        mask = tokens.isna()
+        arrs = [a for a in tokens[~mask]]
+        if not arrs:
+            return tokens
+        lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = np.concatenate([np.asarray(a, dtype=np.float64) for a in arrs]) if lengths.sum() else np.array([], dtype=np.float64)
+        out_flat = (flat * scale).astype(np.int64) + offset  # one vectorized op for the batch
+        pieces = np.split(out_flat, np.cumsum(lengths)[:-1])
+        out = pd.Series([None] * len(tokens), index=tokens.index, dtype=object)
+        out[~mask] = pd.Series(pieces, index=tokens.index[~mask], dtype=object).values
+        return out
 
     return remap
-
-
-def reproject_tokens(df: DataFrame, tokens_col: str, scale: float, offset: int) -> DataFrame:
-    """``etl.reproject`` analog (transform/reproject.py:6-41): a chained view
-    over the payload column. In Spark the 'view' is just withColumn — the
-    reference's must-directly-follow-source limitation (reproject.py:25-26)
-    disappears because metadata travels in the schema."""
-    return df.withColumn(tokens_col, make_affine_transform_udf(scale, offset)(F.col(tokens_col)))

@@ -39,6 +39,39 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_df_cap_prunes_candidates_not_results(spark):
+    """A planted high-df shingle (every doc shares one phrase) must be
+    dropped from candidate generation by the df cap — candidate count falls
+    to only truly-similar pairs — while surviving pairs keep their EXACT
+    full-set Jaccard values."""
+    common = "zz yy xx"  # one shared 3-shingle across all docs
+    rows = [(i, f"{common} unique{i}a unique{i}b unique{i}c") for i in range(1, 9)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def cand_count(cap):
+        sh = DD._shingles(docs, "text", "doc_id", 3)
+        index = sh
+        if cap is not None:
+            keep = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= cap).select("shingle")
+            index = sh.join(keep, "shingle")
+        a, b = index.alias("a"), index.alias("b")
+        return (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+            .select("a._id", "b._id").distinct().count()
+        )
+
+    assert cand_count(None) >= 28  # the planted shingle alone makes 8*7/2 pairs
+    assert cand_count(4) == 1      # cap kills the hot shingle; only (100,101) remains
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in DD.ngram_jaccard_pairs(docs, threshold=0.3, n=3, max_shingle_df=4).collect()}
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.ngram_jaccard_pairs(docs, threshold=0.3, n=3, max_shingle_df=None).collect()}
+    assert (100, 101) in capped
+    # surviving pairs carry identical exact-Jaccard values in both modes
+    assert all(full[k] == v for k, v in capped.items())
+
+
 def test_minhash_lsh_finds_planted_neardups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(docs, threshold=0.5, n=2).collect()}
     assert (1, 2) in pairs
@@ -120,7 +153,24 @@ def test_normalize_strings(spark):
     assert vals == ["x", None, None]  # empty-string -> NULL (prepare_val parity)
 
 
-def test_reproject_tokens_pandas_udf(spark):
+def test_reproject_tokens_jvm_transform(spark):
+    """The documented reproject analog is the JVM-side transform() — no
+    Python UDF in the plan."""
     df = spark.createDataFrame([("a", [1, 2, 3])], "doc_id string, tokens array<int>")
-    out = reproject_tokens(df, "tokens", scale=2.0, offset=10).collect()[0]["tokens"]
-    assert out == [12, 14, 16]
+    out = reproject_tokens(df, "tokens", scale=2.0, offset=10)
+    assert out.collect()[0]["tokens"] == [12, 14, 16]
+    assert "Python" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_affine_pandas_udf_batch_template(spark):
+    """The pandas-UDF template (for genuinely-Python transforms) matches the
+    JVM path, including NULL arrays, empty arrays, and multi-row batches."""
+    from geopetl_spark.transforms import make_affine_transform_udf
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", None), ("c", []), ("d", [0, 7])],
+        "doc_id string, tokens array<int>",
+    )
+    udf = make_affine_transform_udf(2.0, 10)
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", udf("tokens").alias("t")).collect()}
+    assert out == {"a": [12, 14, 16], "b": None, "c": [], "d": [10, 24]}

@@ -51,6 +51,28 @@ def test_salted_dedup_is_aggregation_not_window_sort(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_minhash_lsh_never_joins_shingle_pair_space(spark, sf_dir):
+    """the LSH verify must compute Jaccard for CANDIDATES only: the physical
+    plan may join on band_key and on candidate ids, but an unfiltered
+    shingle = shingle self-join (the quadratic space LSH exists to avoid)
+    must not appear anywhere."""
+    import re
+
+    plan = _plan(entry.queries()["dedup_minhash_lsh"](spark, sf_dir))
+    assert "band_key" in plan  # candidates still come from the band equi-join
+    assert not re.search(r"shingle#\d+L?\s*=\s*shingle#\d+", plan)
+
+
+def test_simhash_is_single_aggregate_no_bit_explode(spark, sf_dir):
+    """simhash compiles to one partial+final aggregation over the words
+    explode — no second explode (words x 48 bits) and no extra shuffle."""
+    from geopetl_spark.operators.dedup_text import simhash
+
+    plan = _plan(simhash(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    assert plan.count("Generate explode") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
     from geopetl_spark import from_parquet
 
