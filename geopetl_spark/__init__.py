@@ -42,7 +42,14 @@ from .operators.ann import cosine_topk, embedding_near_dup_pairs, lsh_bucketed_t
 from .operators.asof import asof_join
 from .functions.sql_registry import register_sql_functions
 from . import catalog
-from .transforms import sanitize_tokens, normalize_strings, reproject_tokens
+from .transforms import (
+    sanitize_tokens,
+    normalize_strings,
+    reproject_tokens,
+    tag_payload,
+    strip_payload_tag,
+)
+from .sources.jdbc import from_jdbc, to_jdbc, compile_jdbc_options
 
 
 def extract_table_schema(table: LakeTable, out_path: str) -> dict:
@@ -63,6 +70,8 @@ __all__ = [
     "LakeTable", "extract_table_schema",
     "latest_per_key", "latest_per_key_window", "dedup_exact_events",
     "sanitize_tokens", "normalize_strings", "reproject_tokens",
+    "tag_payload", "strip_payload_tag",
+    "from_jdbc", "to_jdbc", "compile_jdbc_options",
     "schema_to_doc", "doc_to_schema", "write_schema_doc", "read_schema_doc",
     "diff_schemas", "evolve_schema",
     "CommitConflict", "catalog", "asof_join", "register_sql_functions",

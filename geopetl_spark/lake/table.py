@@ -595,6 +595,32 @@ class LakeTable:
 
     # ------------------------------------------------------------ utilities
 
+    def describe(self) -> dict:
+        """Informational layout/stats surface (C6 analog: the reference
+        exposes ``indexes``/``privileges``, ``oracle_sde.py:784-824``; here
+        the physical-design facts are the bucket layout and sort order)."""
+        m = self.manifest()
+        stats = m.get("bucket_stats") or {}
+        return {
+            "path": self.path,
+            "version": m["version"],
+            "snapshot_id": m["snapshot_id"],
+            "key_col": m["key_col"],
+            "columns": [f["name"] for f in m["schema"]["fields"]],
+            "layout": {
+                "type": "hash-bucket copy-on-write",
+                "bucket_expr": f"pmod(xxhash64(cast({m['key_col']} as string)), {m['n_buckets']})",
+                "n_buckets": m["n_buckets"],
+                "sort_within_buckets": m["key_col"],
+            },
+            "buckets_populated": len(m["buckets"]),
+            "data_dirs": sum(len(v) for v in m["buckets"].values()),
+            "total_rows": m["summary"].get("total_rows", 0),
+            "tombstones": sum(v["rows"] - v["live"] for v in stats.values()) if stats else None,
+            "committed_epochs": len(m.get("committed_epochs", [])),
+            "properties": m.get("properties", {}),
+        }
+
     def checksum(self) -> int:
         """Order-independent state checksum: sum of xxhash64 over every row's
         canonical (key, payload) encoding — the 'byte-identical replay'

@@ -46,6 +46,12 @@ def parse_source_url(uri: str) -> tuple[str, str]:
 
 def read_source(spark: SparkSession, uri: str, **kw) -> DataFrame:
     """``fromgis`` analog (``__init__.py:13-30``)."""
+    if uri.lower().startswith("jdbc:"):
+        # live-database extract (S1/S2): the whole uri IS the JDBC url;
+        # fields/where/limit/sql push down into the dbtable subquery
+        from .jdbc import from_jdbc
+
+        return from_jdbc(spark, uri, **kw)
     scheme, path = parse_source_url(uri)
     if scheme == "parquet":
         return readers.from_parquet(spark, path, **kw)
@@ -64,6 +70,11 @@ def read_source(spark: SparkSession, uri: str, **kw) -> DataFrame:
 
 def write_sink(df: DataFrame, uri: str, mode: str = "overwrite", **kw) -> None:
     """``togis`` analog (``__init__.py:33-52``)."""
+    if uri.lower().startswith("jdbc:"):
+        from .jdbc import to_jdbc
+
+        to_jdbc(df, uri, mode=mode, **kw)
+        return
     scheme, path = parse_source_url(uri)
     if scheme == "parquet":
         df.write.mode(mode).parquet(path, **kw)

@@ -68,6 +68,47 @@ def parse_timestamps(df: DataFrame, cols: dict[str, str]) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P8: payload metadata tagging round-trip. The reference prefixes 'SRID=n;'
+# onto the serialized geometry on read when geom_with_srid=True
+# (oracle_sde.py:1149-1150, postgis.py:993-994) and strips it again before
+# write (_prepare_geom, oracle_sde.py:755-758). The engine analog tags the
+# serialized token payload with a schema-version prefix 'V{n};'.
+# ---------------------------------------------------------------------------
+
+def tag_payload(
+    df: DataFrame, tokens_col: str = "tokens", version: int = 1, out_col: str | None = None
+) -> DataFrame:
+    """Serialize the token array to its tagged text form ``V{n};1,2,3``
+    (≈ EWKT 'SRID=n;POINT(...)'). NULL arrays stay NULL."""
+    body = F.concat_ws(",", F.transform(F.col(tokens_col), lambda x: x.cast("string")))
+    tagged = F.when(
+        F.col(tokens_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat(F.lit(f"V{int(version)};"), body))
+    return df.withColumn(out_col or tokens_col, tagged)
+
+
+def strip_payload_tag(
+    df: DataFrame,
+    col: str,
+    tokens_col: str = "tokens",
+    version_col: str = "payload_version",
+) -> DataFrame:
+    """Inverse of :func:`tag_payload`: split ``V{n};1,2,3`` back into the
+    typed token array plus its version tag (untagged strings parse with a
+    NULL version, like the reference's tag-optional strip,
+    oracle_sde.py:755-758)."""
+    s = F.col(col)
+    ver = F.nullif(F.regexp_extract(s, r"^V(\d+);", 1), F.lit("")).cast("int")
+    body = F.regexp_replace(s, r"^V\d+;", "")
+    toks = F.when(s.isNull(), F.lit(None).cast("array<int>")).otherwise(
+        F.when(F.length(body) == 0, F.array().cast("array<int>")).otherwise(
+            F.transform(F.split(body, ","), lambda x: x.cast("int"))
+        )
+    )
+    return df.withColumn(version_col, ver).withColumn(tokens_col, toks)
+
+
+# ---------------------------------------------------------------------------
 # Reproject analog. The PRIMARY path is a built-in higher-order function —
 # an affine remap never needs Python at all (JVM, whole-stage codegen). The
 # pandas UDF below is the template for transforms that genuinely need Python

@@ -86,6 +86,19 @@ def test_commit_conflict_one_winner(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_describe_layout_surface(merged_table):
+    """C6 analog (indexes/privileges, oracle_sde.py:784-824): describe()
+    reports the physical layout and live stats."""
+    d = merged_table.describe()
+    assert d["key_col"] == "doc_id"
+    assert d["layout"]["n_buckets"] == 8
+    assert "xxhash64" in d["layout"]["bucket_expr"]
+    assert d["total_rows"] == merged_table.read().count()
+    assert d["tombstones"] is not None and d["tombstones"] >= 0
+    assert d["committed_epochs"] == 3
+    assert set(d["columns"]) == {"doc_id", "tokens", "n_tok", "source"}
+
+
 def test_concurrent_writers_do_not_clobber_data(spark, tmp_path):
     """Two writers racing to the same next VERSION write disjoint data dirs:
     the loser's mode-overwrite parquet write must never delete the winner's

@@ -153,6 +153,27 @@ def test_normalize_strings(spark):
     assert vals == ["x", None, None]  # empty-string -> NULL (prepare_val parity)
 
 
+def test_payload_tag_roundtrip(spark):
+    """P8 analog of EWKT 'SRID=n;' tagging (oracle_sde.py:1149-1150): tag,
+    then strip -> identical arrays + recovered version; untagged input
+    parses with NULL version."""
+    from geopetl_spark.transforms import strip_payload_tag, tag_payload
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", []), ("c", None)], "doc_id string, tokens array<int>"
+    )
+    tagged = tag_payload(df, "tokens", version=4, out_col="payload")
+    vals = {r["doc_id"]: r["payload"] for r in tagged.collect()}
+    assert vals == {"a": "V4;1,2,3", "b": "V4;", "c": None}
+    back = strip_payload_tag(tagged.drop("tokens"), "payload")
+    out = {r["doc_id"]: (r["tokens"], r["payload_version"]) for r in back.collect()}
+    assert out == {"a": ([1, 2, 3], 4), "b": ([], 4), "c": (None, None)}
+    # untagged strings parse too (tag-optional strip, oracle_sde.py:755-758)
+    untagged = spark.createDataFrame([("x", "5,6")], "doc_id string, payload string")
+    r = strip_payload_tag(untagged, "payload").collect()[0]
+    assert r["tokens"] == [5, 6] and r["payload_version"] is None
+
+
 def test_reproject_tokens_jvm_transform(spark):
     """The documented reproject analog is the JVM-side transform() — no
     Python UDF in the plan."""
