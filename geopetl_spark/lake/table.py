@@ -61,8 +61,11 @@ DELETED_COL = "_deleted"  # tombstone flag: deletes persist so a late replay of
 # an older event for the key compares against the tombstone's LSN and cannot
 # resurrect it (classic log-compaction semantics). compact(drop_tombstones=
 # True) reclaims them once the replay horizon has passed.
+SEQ_COL = "_seq"  # commit-order tiebreak for merge-on-read: rows written by a
+# later commit win _lsn ties (mirrors the CoW merge's src_lsn >= tgt_lsn rule).
+# Files from before this column existed read as NULL -> sorts below any commit.
 _PART_COL = "_bucket_p"  # physical partition dir column (duplicated from _bucket)
-_SYSTEM_COLS = (BUCKET_COL, LSN_COL, DELETED_COL)
+_SYSTEM_COLS = (BUCKET_COL, LSN_COL, DELETED_COL, SEQ_COL)
 
 
 class CommitConflict(Exception):
@@ -207,6 +210,7 @@ class LakeTable:
         fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         fields.append(T.StructField(LSN_COL, T.LongType(), True))
         fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+        fields.append(T.StructField(SEQ_COL, T.LongType(), True))
         return T.StructType(fields)
 
     def read(
@@ -224,17 +228,28 @@ class LakeTable:
         directories of requested buckets are scanned — the engine's own
         partition pruning, independent of (and additive to) parquet
         row-group stats on ``_bucket``.
+
+        Merge-on-read: when the manifest carries delta dirs for the selected
+        buckets, base and delta rows are unioned and reduced per key via
+        ``max_by`` on (_lsn, _seq) — the read-time tax MoR trades for O(batch)
+        writes; ``compact()`` folds deltas back into the base to reclaim it.
         """
         m = self.manifest(version)
         dirs: list[str] = []
         for b, dlist in m["buckets"].items():
             if buckets is None or int(b) in set(buckets):
                 dirs.extend(dlist)
+        delta_dirs: list[str] = []
+        for b, dlist in m.get("deltas", {}).items():
+            if buckets is None or int(b) in set(buckets):
+                delta_dirs.extend(dlist)
         read_schema = self._read_schema(m)
-        if not dirs:
+        if not dirs and not delta_dirs:
             df = self.spark.createDataFrame([], read_schema)
         else:
-            df = self.spark.read.schema(read_schema).parquet(*dirs)
+            df = self.spark.read.schema(read_schema).parquet(*dirs, *delta_dirs)
+        if delta_dirs:
+            df = _reduce_latest(df, m["key_col"])
         if not include_system:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(*_SYSTEM_COLS)
         if where:
@@ -247,8 +262,16 @@ class LakeTable:
 
     def count(self) -> int:
         # metadata-only row count, ≈ A1 (oracle_sde.py:1084-1091) served from
-        # the snapshot summary like Iceberg's total-records.
-        return int(self.manifest()["summary"].get("total_rows", 0))
+        # the snapshot summary like Iceberg's total-records. After an MoR
+        # merge the exact live count is unknown without the read-time reduce
+        # (key overlap between base and delta is data-dependent), so the
+        # summary stores None and the count falls back to one reduced scan —
+        # the same "counts are exact only after compaction" economics as
+        # Iceberg MoR.
+        total = self.manifest()["summary"].get("total_rows", 0)
+        if total is None:
+            return self.read().count()
+        return int(total)
 
     # --------------------------------------------------------------- writes
 
@@ -344,6 +367,7 @@ class LakeTable:
             buckets = written
             bucket_stats = wstats
             total = n_new
+            deltas = {}  # full refresh folds/discards all MoR deltas
         elif mode == "append":
             buckets = {k: list(v) for k, v in m["buckets"].items()}
             bucket_stats = {k: dict(v) for k, v in m.get("bucket_stats", {}).items()}
@@ -352,7 +376,9 @@ class LakeTable:
                 bs = bucket_stats.setdefault(b, {"rows": 0, "live": 0})
                 bs["rows"] += wstats[b]["rows"]
                 bs["live"] += wstats[b]["live"]
-            total = m["summary"].get("total_rows", 0) + n_new
+            deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+            prev_total = m["summary"].get("total_rows", 0)
+            total = None if prev_total is None else prev_total + n_new
         else:
             raise ValueError(f"unknown write mode {mode!r}")
 
@@ -365,6 +391,7 @@ class LakeTable:
             committed_epochs=_merge_epochs(m.get("committed_epochs", []), epoch_id),
             schema=json.loads(new_schema.json()),
             buckets=buckets,
+            deltas=deltas,
             bucket_stats=bucket_stats,
             summary={"total_rows": total, "operation": mode, "rows_written": n_new},
             lineage=(lineage or []),
@@ -384,6 +411,7 @@ class LakeTable:
             epoch_id=None,
             committed_epochs=[],
             buckets={},
+            deltas={},
             bucket_stats={},
             summary={"total_rows": 0, "operation": "truncate"},
             lineage=[],
@@ -400,6 +428,7 @@ class LakeTable:
         op_col: str = "op",
         assume_deduped: bool = False,
         lineage: list[dict] | None = None,
+        strategy: str | None = None,
     ) -> dict:
         """Apply a CDC change batch as an idempotent key-partitioned MERGE.
 
@@ -408,6 +437,15 @@ class LakeTable:
         than the target row's ``_lsn`` never regresses state, so replaying
         any suffix of history is a no-op — combined with epoch-id skip this
         is the exactly-once contract.
+
+        ``strategy``: 'cow' (default) rewrites affected buckets — right when
+        epochs touch few buckets. 'mor' (merge-on-read) appends the deduped
+        batch as per-bucket DELTA files with a commit-sequence tiebreak and
+        defers reconciliation to read time / compaction — right for the
+        uniform-key big-epoch regime where CoW would rewrite the full table
+        every epoch. Defaults to the table property ``write.merge-mode``.
+        Both strategies produce identical logical state (LSN-last-wins with
+        later-commit tiebreak on equal LSNs, tombstoned deletes).
         """
         if not self.exists():
             raise ValueError(f"no lake table at {self.path}")
@@ -415,6 +453,9 @@ class LakeTable:
         m = self.manifest()
         if epoch_id is not None and epoch_id in set(m.get("committed_epochs", [])):
             return {"operation": "skip", "reason": "epoch already committed", "epoch_id": epoch_id}
+        mode = strategy or m.get("properties", {}).get("write.merge-mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy {mode!r}")
 
         key = m["key_col"]
         n_buckets = m["n_buckets"]
@@ -427,6 +468,9 @@ class LakeTable:
         payload_cols = [c for c in changes.columns if c not in (op_col, lsn_col, "commit_ts", "epoch")]
         incoming_schema = T.StructType([f for f in changes.schema.fields if f.name in payload_cols])
         new_schema = schema_mod.evolve_schema(self.schema(), incoming_schema)
+
+        if mode == "mor":
+            return self._merge_mor(changes, epoch_id, m, new_schema, lsn_col, op_col, lineage, _t0)
 
         src = changes.withColumn(BUCKET_COL, self._bucket_expr(key, n_buckets))
         src = src.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
@@ -489,6 +533,9 @@ class LakeTable:
 
         buckets = {k: list(v) for k, v in m["buckets"].items() if int(k) not in set(affected)}
         buckets.update(written)  # carry forward untouched buckets, swap affected
+        # a key's delta rows share its bucket, so rewriting a bucket FOLDS its
+        # deltas (the target read above already reduced them in); drop them
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items() if int(k) not in set(affected)}
 
         # incremental live-row accounting from manifest bucket stats — no
         # scan of historical data (fallback scan only for pre-stats tables)
@@ -497,7 +544,9 @@ class LakeTable:
             prev_stats = self._recompute_bucket_stats(m)
         bucket_stats = {k: dict(v) for k, v in prev_stats.items() if int(k) not in set(affected)}
         bucket_stats.update(wstats)
-        total = sum(v["live"] for v in bucket_stats.values())
+        # with unfolded deltas on other buckets the exact live total is
+        # data-dependent (key overlap) — leave it unknown until compaction
+        total = sum(v["live"] for v in bucket_stats.values()) if not deltas else None
 
         new_m = dict(m)
         new_m.update(
@@ -508,6 +557,7 @@ class LakeTable:
             committed_epochs=_merge_epochs(m.get("committed_epochs", []), epoch_id),
             schema=json.loads(new_schema.json()),
             buckets=buckets,
+            deltas=deltas,
             bucket_stats=bucket_stats,
             summary={
                 "operation": "merge",
@@ -525,6 +575,68 @@ class LakeTable:
             lineage=(lineage or []),
         )
         src.unpersist()
+        self._publish(new_m)
+        return new_m["summary"]
+
+    def _merge_mor(
+        self,
+        changes: DataFrame,
+        epoch_id: Any,
+        m: dict,
+        new_schema: T.StructType,
+        lsn_col: str,
+        op_col: str,
+        lineage: list[dict] | None,
+        _t0: float,
+    ) -> dict:
+        """Merge-on-read apply: write the deduped batch as per-bucket delta
+        files — O(batch) work regardless of how many buckets the keys touch,
+        no target read, no join. Deletes become tombstone delta rows; the
+        read-time ``max_by(_lsn, _seq)`` reduce makes LSN-last-wins hold and
+        replayed old events lose exactly as in the CoW join."""
+        key = m["key_col"]
+        n_buckets = m["n_buckets"]
+        version = m["version"] + 1
+        src = changes.withColumn(LSN_COL, F.col(lsn_col).cast("long")).withColumn(
+            DELETED_COL, F.col(op_col) == "D"
+        )
+        staged = (
+            _conform(src, new_schema, keep_system=True)
+            .withColumn(BUCKET_COL, self._bucket_expr(key, n_buckets))
+            .withColumn(SEQ_COL, F.lit(version).cast("long"))
+        )
+        written, wstats, n_rows, n_live = self._write_snapshot_data(staged, version, n_buckets)
+        _t_write = time.time()
+
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        for b, dlist in written.items():
+            deltas.setdefault(b, []).extend(dlist)
+
+        new_m = dict(m)
+        new_m.update(
+            version=version,
+            snapshot_id=uuid.uuid4().hex,
+            parent=m["snapshot_id"],
+            epoch_id=epoch_id,
+            committed_epochs=_merge_epochs(m.get("committed_epochs", []), epoch_id),
+            schema=json.loads(new_schema.json()),
+            deltas=deltas,
+            summary={
+                "operation": "merge",
+                "mode": "mor",
+                "total_rows": None,  # exact only after compaction (see count())
+                "rows_written": n_rows,
+                "live_rows_written": n_live,
+                "buckets_affected": len(written),
+                "delta_dirs": sum(len(v) for v in deltas.values()),
+                "epoch_id": epoch_id,
+                "merge_phase_sec": {
+                    "dedup_and_delta_write": round(_t_write - _t0, 2),
+                    "count_bookkeeping": round(time.time() - _t_write, 2),
+                },
+            },
+            lineage=(lineage or []),
+        )
         self._publish(new_m)
         return new_m["summary"]
 
@@ -546,6 +658,8 @@ class LakeTable:
                 continue
             kept_manifests.add(os.path.basename(self._manifest_path(v)))
             for dl in m["buckets"].values():
+                referenced.update(os.path.normpath(d) for d in dl)
+            for dl in m.get("deltas", {}).values():  # MoR delta dirs are live too
                 referenced.update(os.path.normpath(d) for d in dl)
 
         removed_dirs = 0
@@ -615,6 +729,7 @@ class LakeTable:
             },
             "buckets_populated": len(m["buckets"]),
             "data_dirs": sum(len(v) for v in m["buckets"].values()),
+            "delta_dirs": sum(len(v) for v in m.get("deltas", {}).values()),
             "total_rows": m["summary"].get("total_rows", 0),
             "tombstones": sum(v["rows"] - v["live"] for v in stats.values()) if stats else None,
             "committed_epochs": len(m.get("committed_epochs", [])),
@@ -652,11 +767,27 @@ class LakeTable:
             snapshot_id=uuid.uuid4().hex,
             parent=m["snapshot_id"],
             buckets=written,
+            deltas={},  # the read above reduced deltas into the rewrite
             bucket_stats=wstats,
             summary={"operation": "compact", "total_rows": n_live, "rows_written": n},
         )
         self._publish(new_m)
         return new_m["summary"]
+
+
+def _reduce_latest(df: DataFrame, key: str) -> DataFrame:
+    """Merge-on-read reconciliation: one row per key — the max of
+    (_lsn, _seq), so the highest LSN wins and, on equal LSNs, the later
+    commit (exactly the CoW join's ``src_lsn >= tgt_lsn`` rule). NULL _lsn
+    (plain writes) and NULL _seq (pre-MoR files) sort below everything.
+    Compiles to a partial+final max_by aggregation — map-side combinable,
+    no window sort, same skew profile as the CDC dedup."""
+    order = F.struct(
+        F.coalesce(F.col(LSN_COL), F.lit(-(1 << 62)).cast("long")).alias("l"),
+        F.coalesce(F.col(SEQ_COL), F.lit(-1).cast("long")).alias("s"),
+    )
+    row = F.max_by(F.struct(*[F.col(c) for c in df.columns]), order)
+    return df.groupBy(key).agg(row.alias("_row")).select("_row.*")
 
 
 def _merge_epochs(old: list, epoch_id) -> list:

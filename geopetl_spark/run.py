@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--cores", type=int, default=None, help="local[N] parallelism")
     p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument(
+        "--merge-strategy", choices=["cow", "mor"], default=None,
+        help="cow = rewrite affected buckets (default); mor = O(batch) delta "
+        "writes with read-time reconcile + compaction (uniform-key big-epoch regime)",
+    )
     p.add_argument("--drift-epoch", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
@@ -74,7 +79,12 @@ def main(argv: list[str] | None = None) -> dict:
     if not table.exists():
         table.create(DOC_SCHEMA, key_col="doc_id", n_buckets=args.n_buckets)
 
-    cfg = IngestConfig(log_path=args.log, table_path=args.table, checkpoint_path=args.checkpoint)
+    cfg = IngestConfig(
+        log_path=args.log,
+        table_path=args.table,
+        checkpoint_path=args.checkpoint,
+        merge_strategy=args.merge_strategy,
+    )
     t0 = time.time()
     results = run_ingest(spark, cfg, max_epochs=args.max_epochs)
     elapsed = time.time() - t0

@@ -52,6 +52,7 @@ class IngestConfig:
     quarantine: bool = True  # split events with null key/LSN into a
     # side-channel instead of poisoning the MERGE (a null key would
     # otherwise land as a junk row; a null LSN breaks ordering semantics)
+    merge_strategy: str | None = None  # 'cow' | 'mor' | None (table property)
 
 
 @dataclass
@@ -109,6 +110,7 @@ def apply_epoch(
         op_col=cfg.op_col,
         assume_deduped=True,
         lineage=plineage,
+        strategy=cfg.merge_strategy,
     )
     t1 = time.time()
     summary = dict(summary)
