@@ -63,6 +63,9 @@ def bench_queries(spark) -> dict[str, float]:
 
 
 def bench_cdc(spark) -> dict:
+    """Both merge strategies over the SAME log; reports throughput per
+    strategy, MoR compaction cost, and asserts state equivalence (the
+    CoW-vs-MoR checksum equality is part of the benchmark contract)."""
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         log = os.path.join(work, "log")
@@ -75,21 +78,35 @@ def bench_cdc(spark) -> dict:
             n_hot=7,
             hot_fraction=0.15,
         )
-        tp = os.path.join(work, "lake")
-        LakeTable(spark, tp).create(DOC_SCHEMA, key_col="doc_id", n_buckets=64)
-        cfg = IngestConfig(
-            log_path=log, table_path=tp, checkpoint_path=os.path.join(work, "ck")
-        )
-        t0 = time.time()
-        results = run_ingest(spark, cfg)
-        elapsed = time.time() - t0
-        events = sum(r.rows for r in results)
-        return {
-            "events": events,
-            "epochs": len(results),
-            "elapsed_sec": round(elapsed, 3),
-            "events_per_sec": round(events / max(elapsed, 1e-9), 1),
-        }
+        out: dict = {}
+        checksums = {}
+        for strategy in ("cow", "mor"):
+            tp = os.path.join(work, f"lake_{strategy}")
+            t = LakeTable(spark, tp).create(DOC_SCHEMA, key_col="doc_id", n_buckets=64)
+            cfg = IngestConfig(
+                log_path=log,
+                table_path=tp,
+                checkpoint_path=os.path.join(work, f"ck_{strategy}"),
+                merge_strategy=strategy,
+            )
+            t0 = time.time()
+            results = run_ingest(spark, cfg)
+            elapsed = time.time() - t0
+            events = sum(r.rows for r in results)
+            row = {
+                "events": events,
+                "epochs": len(results),
+                "elapsed_sec": round(elapsed, 3),
+                "events_per_sec": round(events / max(elapsed, 1e-9), 1),
+            }
+            if strategy == "mor":
+                tc = time.time()
+                t.compact()
+                row["compact_sec"] = round(time.time() - tc, 3)
+            checksums[strategy] = t.checksum()
+            out[strategy] = row
+        out["state_equal_cow_vs_mor"] = checksums["cow"] == checksums["mor"]
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

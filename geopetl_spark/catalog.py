@@ -67,6 +67,39 @@ def lake_tables(root: str) -> list[str]:
     return sorted(out)
 
 
+_CAPABILITIES_CACHE: dict[int, dict] = {}
+
+
+def capabilities(spark: SparkSession) -> dict:
+    """Engine capability probes, cached per session (C4 analog: the
+    reference caches ``is_sde_enabled``/``is_postgis_enabled`` probes,
+    ``postgis.py:208-240, 444-461``). These are the feature facts a sink or
+    operator checks before relying on a behavior."""
+    key = id(spark)
+    if key in _CAPABILITIES_CACHE:
+        return _CAPABILITIES_CACHE[key]
+    conf = spark.conf
+
+    def flag(name: str, default: str = "false") -> bool:
+        try:
+            return (conf.get(name, default) or default).lower() == "true"
+        except Exception:  # noqa: BLE001 - unreadable conf = capability absent
+            return False
+
+    caps = {
+        "arrow_enabled": flag("spark.sql.execution.arrow.pyspark.enabled"),
+        "aqe_enabled": flag("spark.sql.adaptive.enabled"),
+        "aqe_skew_join": flag("spark.sql.adaptive.skewJoin.enabled"),
+        "ansi_mode": flag("spark.sql.ansi.enabled"),
+        "session_timezone": conf.get("spark.sql.session.timeZone", None),
+        "shuffle_partitions": int(conf.get("spark.sql.shuffle.partitions", "200")),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "spark_version": spark.version,
+    }
+    _CAPABILITIES_CACHE[key] = caps
+    return caps
+
+
 def find_payload_column(schema_or_df, error_on_multiple: bool = True) -> str | None:
     """Payload-column discovery by type (C5 / F6 analog): the reference
     scans table metadata for the single geometry-typed column and errors on

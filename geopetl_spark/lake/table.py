@@ -17,10 +17,18 @@ implemented on parquet + JSON manifests:
 * **Hash-bucket layout** — rows are bucketed by ``pmod(xxhash64(key), N)``;
   each snapshot keeps one parquet directory per touched bucket, and the
   manifest carries forward untouched buckets' directories from the parent
-  snapshot. MERGE therefore costs O(changed buckets), not O(table): at
-  10^10 rows with a 0.1% change batch, ~all buckets are touched per huge
-  epoch but small epochs rewrite only the buckets their keys hash into —
-  the same copy-on-write economics as Iceberg's.
+  snapshot. MERGE therefore costs O(changed buckets), not O(table) — the
+  same copy-on-write economics as Iceberg's.
+
+  **Regime limits, named:** a uniformly-keyed epoch touches all N buckets
+  and CoW rewrites the full table per epoch. The mitigations, by table size:
+  (a) raise ``n_buckets`` with the table (bucket count is a create-time
+  spec, like Iceberg partition specs); (b) switch the table or the epoch to
+  **merge-on-read** (``strategy='mor'``): O(batch) delta files + read-time
+  ``max_by(_lsn,_seq)`` reconcile + background ``compact()`` — implemented
+  below, state-equivalent to CoW by construction and test; (c) within-bucket
+  key-range file stats would prune further at 10^10+ rows (future work —
+  requires per-file min/max key tracking in the manifest).
 * **Additive schema evolution** — the manifest schema evolves via
   :func:`geopetl_spark.schema.evolve_schema`; reads always apply the current
   manifest schema, so files written before a column existed surface NULLs

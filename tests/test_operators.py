@@ -153,6 +153,35 @@ def test_normalize_strings(spark):
     assert vals == ["x", None, None]  # empty-string -> NULL (prepare_val parity)
 
 
+def test_publish_csv_dry_run_and_publisher(spark, tmp_path):
+    """S7 tail (tocarto, carto.py:7-38): canonicalize payload -> single CSV
+    -> publisher boundary. No publisher = dry-run manifest; a publisher
+    callable receives the file and its manifest."""
+    from geopetl_spark.sources.publish import publish_csv
+
+    df = spark.createDataFrame(
+        [("a", [1, 2], "s1"), ("b", None, "s2")], "doc_id string, tokens array<int>, source string"
+    )
+    man = publish_csv(df, str(tmp_path), "dump", payload_version=2)
+    assert man["published"] is False and man["bytes"] > 0
+    body = open(man["path"]).read()
+    assert "the_payload" in body and "V2;1,2" in body
+
+    calls = []
+    man2 = publish_csv(df, str(tmp_path), "dump2", publisher=lambda p, m: calls.append((p, m)) or {"id": 7})
+    assert man2["published"] is True and man2["publish_result"] == {"id": 7}
+    assert calls and calls[0][0].endswith("dump2.csv")
+
+
+def test_capabilities_probe_cached(spark):
+    from geopetl_spark.catalog import capabilities
+
+    caps = capabilities(spark)
+    assert caps["arrow_enabled"] and caps["aqe_enabled"]  # session.py turns these on
+    assert caps["session_timezone"] == "UTC"
+    assert capabilities(spark) is caps  # cached, like the reference's probes
+
+
 def test_payload_tag_roundtrip(spark):
     """P8 analog of EWKT 'SRID=n;' tagging (oracle_sde.py:1149-1150): tag,
     then strip -> identical arrays + recovered version; untagged input
