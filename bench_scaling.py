@@ -126,12 +126,22 @@ def _fast_tmp() -> str | None:
     return None
 
 
-def run_at(cores: int, log: str, repo: str) -> dict:
+def run_at(cores: int, log: str, repo: str, pin: bool = False) -> dict:
     work = tempfile.mkdtemp(prefix=f"scal{cores}_", dir=_fast_tmp())
     try:
         script = RUNNER.format(repo=repo)
+        cmd = [sys.executable, "-c", script, str(cores), log, work]
+        if pin:
+            # Pin the whole process tree (JVM + forked python workers) to
+            # exactly `cores` CPUs. Without this, a local[4] JVM on an idle
+            # 32-core box borrows extra cores for GC/netty/parquet/codegen
+            # threads, overstating the N baseline and deflating measured
+            # efficiency — a real executor has a bounded CPU allocation, so
+            # pinning is the faithful N-vs-4N simulation (measured: unpinned
+            # local[4] ran 15-25% above its pinned throughput).
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "-c", script, str(cores), log, work],
+            cmd,
             capture_output=True, text=True, timeout=3600,
         )
         line = out.stdout.strip().splitlines()[-1]
@@ -150,24 +160,39 @@ def main():
                    help="payload size: tokens per event (CPU weight per event)")
     p.add_argument("--repeats", type=int, default=2,
                    help="measurement repeats per parallelism (ABBA order, best kept)")
+    p.add_argument("--pin", action="store_true",
+                   help="taskset-pin each run to exactly its core count "
+                        "(the faithful bounded-executor simulation)")
+    p.add_argument("--log-path", default=None,
+                   help="reuse a pre-generated event log (kept afterwards) "
+                        "instead of generating+deleting one")
     args = p.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    gen_dir = tempfile.mkdtemp(prefix="scal_log_", dir=_fast_tmp())
-    log = os.path.join(gen_dir, "log")
+    gen_dir = None
+    if args.log_path and os.path.exists(args.log_path):
+        log = args.log_path
+    else:
+        if args.log_path:
+            log = args.log_path
+            os.makedirs(os.path.dirname(log) or ".", exist_ok=True)
+        else:
+            gen_dir = tempfile.mkdtemp(prefix="scal_log_", dir=_fast_tmp())
+            log = os.path.join(gen_dir, "log")
     try:
-        # generate once, outside all timing, at full parallelism
-        from geopetl_spark import get_spark
-        from geopetl_spark.sources.cdc_gen import write_cdc_log
+        if not os.path.exists(os.path.join(log, "_SUCCESS")):
+            # generate once, outside all timing, at full parallelism
+            from geopetl_spark import get_spark
+            from geopetl_spark.sources.cdc_gen import write_cdc_log
 
-        spark = get_spark(app_name="scaling-gen", master=f"local[{args.xn}]")
-        write_cdc_log(
-            spark, log, args.events,
-            n_keys=max(args.events // 20, 1000),
-            events_per_epoch=args.events // args.epochs,
-            n_hot=7, hot_fraction=0.15, max_tokens=args.max_tokens,
-        )
-        spark.stop()
+            spark = get_spark(app_name="scaling-gen", master=f"local[{args.xn}]")
+            write_cdc_log(
+                spark, log, args.events,
+                n_keys=max(args.events // 20, 1000),
+                events_per_epoch=args.events // args.epochs,
+                n_hot=7, hot_fraction=0.15, max_tokens=args.max_tokens,
+            )
+            spark.stop()
 
         # machine ceilings measured FIRST, on a fresh box — engine runs
         # degrade the shared host's thermal/turbo budget, and a ceiling
@@ -184,7 +209,7 @@ def main():
             if i % 2 == 1:
                 order.reverse()
             for cores, sink in order:
-                sink.append(run_at(cores, log, repo))
+                sink.append(run_at(cores, log, repo, pin=args.pin))
                 time.sleep(10)  # thermal/turbo cool-down between runs
         def steady(r):
             # steady-state estimator: median of per-epoch throughputs
@@ -208,6 +233,7 @@ def main():
             "scaling_efficiency": round(eff, 3),
             "state_checksums_equal": r_n["checksum"] == r_xn["checksum"],
             "repeats": args.repeats,
+            "cpu_pinned": bool(args.pin),
             "machine_parallel_ceiling": round(ceiling, 3),
             "machine_bandwidth_ceiling": round(bw_ceiling, 3),
             "efficiency_vs_bandwidth_ceiling": round(eff / max(bw_ceiling, 1e-9), 3),
@@ -216,7 +242,8 @@ def main():
         write_report(result, r_n, r_xn)  # raw per-run report; the curated
         # multi-session campaign lives in BENCH/BASELINE.md (hand-maintained)
     finally:
-        shutil.rmtree(gen_dir, ignore_errors=True)
+        if gen_dir:
+            shutil.rmtree(gen_dir, ignore_errors=True)
 
 
 def write_report(result: dict, r_n: dict, r_xn: dict) -> None:
