@@ -26,6 +26,7 @@ from geopetl_spark.operators import ann as ANN
 from geopetl_spark.operators import dedup_text as DD
 from geopetl_spark.operators.asof import asof_join
 from geopetl_spark.operators.dedup_cdc import latest_per_key
+from geopetl_spark.operators.range_join import range_join
 from geopetl_spark.sources.readers import from_parquet
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -264,6 +265,55 @@ def _q_agg_value_stats(spark, sf):
     )
 
 
+def _q_grouping_sets_orders(spark, sf):
+    # explicit GROUPING SETS (beyond rollup/cube): (status, priority) + (status) + ()
+    o = _t(spark, sf, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# overlapping value bands for the range-join query: a point can fall in two
+# bands, so a correct result REQUIRES interval (not equi) semantics.
+_VALUE_BANDS = [
+    (1, 0.0, 50.0),
+    (2, 25.0, 100.0),
+    (3, 100.0, 200.0),
+    (4, 150.0, 330.0),
+    (5, 300.0, 1000.0),
+]
+
+
+def _q_range_value_bands(spark, sf):
+    ev = _t(spark, sf, "events")
+    bands = spark.createDataFrame(_VALUE_BANDS, "band_id int, lo double, hi double")
+    joined = range_join(ev, bands, value_col="value", lo_col="lo", hi_col="hi", bin_width=50.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _q_json_props_extract(spark, sf):
+    # JSON scalar extraction from the events.props payload column (JVM-side
+    # get_json_object — no Python in the hot path)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -414,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_lineitem": _q_cube_lineitem,
         "pivot_priority_status": _q_pivot_priority_status,
         "agg_value_stats": _q_agg_value_stats,
+        "grouping_sets_orders": _q_grouping_sets_orders,
+        "range_value_bands": _q_range_value_bands,
+        "json_props_extract": _q_json_props_extract,
         "text_token_stats": _q_text_token_stats,
         "text_lang_quality": _q_text_lang_quality,
         "text_fingerprint": _q_text_fingerprint,
@@ -598,6 +651,26 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(value), 4) as stddev_value,
                    round(avg(value), 4) as avg_value, count(*) as n
             from events group by event_type
+        """,
+        "grouping_sets_orders": """
+            select o_orderstatus, o_orderpriority, count(*) as n_orders,
+                   round(sum(o_totalprice), 2) as total_price
+            from orders
+            group by grouping sets ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """,
+        "range_value_bands": f"""
+            select b.band_id, count(*) as n_events,
+                   min(e.value) as min_value, max(e.value) as max_value
+            from events e
+            join (values {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)})
+                 as b(band_id, lo, hi)
+              on e.value >= b.lo and e.value < b.hi
+            group by b.band_id
+        """,
+        "json_props_extract": """
+            select json_extract_string(props, '$.k')::INT as k, count(*) as n_events,
+                   round(avg(value), 4) as avg_value
+            from events group by 1
         """,
         "text_token_stats": r"""
             select doc_id,

@@ -1,6 +1,7 @@
 from .asof import asof_join
 from .ann import cosine_topk, embedding_near_dup_pairs, lsh_bucket, lsh_bucketed_topk
 from .dedup_cdc import dedup_exact_events, latest_per_key, latest_per_key_window
+from .range_join import range_join
 from .dedup_text import (
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -11,6 +12,7 @@ from .dedup_text import (
 
 __all__ = [
     "asof_join",
+    "range_join",
     "cosine_topk", "embedding_near_dup_pairs", "lsh_bucket", "lsh_bucketed_topk",
     "dedup_exact_events", "latest_per_key", "latest_per_key_window",
     "exact_dup_groups", "ngram_jaccard_pairs", "minhash_lsh_pairs",

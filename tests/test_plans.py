@@ -93,3 +93,13 @@ def test_cdc_log_epoch_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(_epoch_part" in plan.replace("#", " #").replace("  ", " ") or "_epoch_part" in plan
     # and the scan reads 1 of 2 partitions: row count proves pruning semantics
     assert read_epoch(spark, log, 1).count() in range(900, 1200)
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The binned range join must compile to a hash/sort-merge EQUI-join on
+    the bin key — never BroadcastNestedLoopJoin or CartesianProduct (the
+    O(L*R) plans the operator exists to avoid)."""
+    plan = _plan(entry.queries()["range_value_bands"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
