@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geopetl_spark.functions import text as TXT
-from geopetl_spark.functions.arrays import cosine
+from geopetl_spark.functions.arrays import chunk_array, cosine
+from geopetl_spark.operators.sample import split_by_hash
 from geopetl_spark.operators import ann as ANN
 from geopetl_spark.operators import dedup_text as DD
 from geopetl_spark.operators.asof import asof_join
@@ -361,6 +362,29 @@ def _q_doc_tokens_stats(spark, sf):
     )
 
 
+def _q_doc_token_chunks(spark, sf):
+    # context windowing: token array -> fixed-size overlapping chunks
+    # (size 64, overlap 16). Pure per-row expressions; only scalar stats leave.
+    d = _t(spark, sf, "documents")
+    toks = F.transform(TXT.words(F.col("text")), lambda w: TXT.word_hash(w) % F.lit(50000))
+    chunks = chunk_array(toks, size=64, overlap=16)
+    return d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.aggregate("chunk", F.lit(0).cast("long"), lambda a, x: a + x).alias("chunk_sum"),
+    )
+
+
+def _q_split_assignment(spark, sf):
+    # deterministic 90/5/5 train/valid/test split (hash-bucket ranges)
+    d = split_by_hash(_t(spark, sf, "documents"), "doc_id")
+    return d.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def _q_doc_length_histogram(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -410,6 +434,66 @@ def _q_dedup_simhash(spark, sf):
 # similarity search
 # ---------------------------------------------------------------------------
 
+def _q_vocab_top_terms(spark, sf):
+    # vocabulary building: global term frequencies, top-100. Partial (map-side)
+    # aggregation + TakeOrderedAndProject — the only rows that move are the
+    # per-partition term partials and the final 100.
+    d = _t(spark, sf, "documents")
+    terms = d.select(F.explode(TXT.words(F.col("text"))).alias("term")).filter(F.length("term") > 0)
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def _q_tfidf_top_terms(spark, sf):
+    # per-doc top TF-IDF term. idf = n_docs/df with NO log: every factor is a
+    # correctly-rounded IEEE division of exact integers, so the score is
+    # bit-identical across engines (ln() differs in final ulps).
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf_cnt").cast("double") / F.col("n_terms"))
+                * (F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+def _q_text_normalize_redact(spark, sf):
+    # cleaning stage: canonical normalization + PII redaction counts (the
+    # synthetic corpus plants no PII, so n_pii asserts the zero baseline;
+    # redaction semantics are unit-tested on planted strings)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TXT.normalize_text(F.col("text")).alias("norm_text"),
+        F.length(TXT.normalize_text(F.col("text"))).cast("long").alias("n_norm_chars"),
+        TXT.pii_count(F.col("text")).alias("n_pii"),
+    )
+
+
 def _q_embed_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
@@ -433,6 +517,17 @@ def _q_embed_lsh_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     return ANN.lsh_bucketed_topk(q, emb, k=5, n_bits=4, dim=64).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "similarity",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_embed_ivf_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return ANN.ivf_topk(q, emb, k=5, n_centroids=8, nprobe=2).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "similarity",
@@ -479,6 +574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_near_dup": _q_embed_near_dup,
         "embed_lsh_ann": _q_embed_lsh_ann,
+        "embed_ivf_ann": _q_embed_ivf_ann,
+        "vocab_top_terms": _q_vocab_top_terms,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "text_normalize_redact": _q_text_normalize_redact,
+        "doc_token_chunks": _q_doc_token_chunks,
+        "split_assignment": _q_split_assignment,
     }
 
 
@@ -772,5 +873,87 @@ def oracle_sql() -> dict[str, str]:
             ranked as (select *, row_number() over (partition by query_id
                               order by similarity desc, neighbor_id asc) rank from scored)
             select query_id, neighbor_id, similarity, rank from ranked where rank <= 5
+        """,
+        "embed_ivf_ann": """
+            with E as (select vec_id, embedding::DOUBLE[] v from embeddings),
+            N as (select vec_id, v, sqrt(list_dot_product(v, v)) nrm from E),
+            U as (select vec_id, list_transform(v, x -> x / nrm) u from N),
+            CEN as (select vec_id cid, u cu from U order by vec_id limit 8),
+            ASSIGN as (
+              select vec_id, u, cid,
+                     row_number() over (partition by vec_id
+                       order by round(list_dot_product(u, cu), 6) desc, cid asc) rn
+              from U cross join CEN),
+            C as (select vec_id neighbor_id, u cu2, cid from ASSIGN where rn = 1),
+            QP as (select vec_id query_id, u qu, cid from ASSIGN where rn <= 2 and vec_id < 20),
+            scored as (select query_id, neighbor_id,
+                              round(list_dot_product(qu, cu2), 6) similarity
+                       from QP join C using (cid) where query_id != neighbor_id),
+            ranked as (select *, row_number() over (partition by query_id
+                              order by similarity desc, neighbor_id asc) rank from scored)
+            select query_id, neighbor_id, similarity, rank from ranked where rank <= 5
+        """,
+        "vocab_top_terms": r"""
+            select term, count(*) as n_occurrences
+            from (select unnest(string_split_regex(trim(text), '\s+')) term from documents)
+            where len(term) > 0
+            group by term
+            order by n_occurrences desc, term asc
+            limit 100
+        """,
+        "tfidf_top_terms": r"""
+            with T as (select doc_id, unnest(string_split_regex(trim(text), '\s+')) term
+                       from documents),
+            T2 as (select * from T where len(term) > 0),
+            TF as (select doc_id, term, count(*) tf_cnt from T2 group by 1, 2),
+            DL as (select doc_id, count(*) n_terms from T2 group by 1),
+            DFQ as (select term, count(*) df from TF group by 1),
+            ND as (select count(*) n_docs from documents),
+            scored as (
+              select tf.doc_id, tf.term,
+                     round((tf.tf_cnt::DOUBLE / dl.n_terms)
+                           * (nd.n_docs::DOUBLE / dfq.df), 6) tfidf
+              from TF tf join DL dl on tf.doc_id = dl.doc_id
+              join DFQ dfq on tf.term = dfq.term
+              cross join ND nd),
+            ranked as (select *, row_number() over (partition by doc_id
+                              order by tfidf desc, term asc) rn from scored)
+            select doc_id, term as top_term, tfidf from ranked where rn = 1
+        """,
+        "doc_token_chunks": r"""
+            with T as (select doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+                         w -> ('0x' || substr(md5(w), 1, 14))::BIGINT % 50000) toks
+                       from documents),
+            C as (select doc_id, toks, len(toks) n from T),
+            X as (select doc_id, toks,
+                         unnest(range(case when n <= 0 then 0
+                                           when n <= 64 then 1
+                                           else (n - 64 + 47) // 48 + 1 end)) i
+                  from C)
+            select doc_id, i as chunk_idx,
+                   len(toks[(i*48 + 1):(i*48 + 64)])::BIGINT as n_chunk_tokens,
+                   list_sum(toks[(i*48 + 1):(i*48 + 64)])::BIGINT as chunk_sum
+            from X
+        """,
+        "split_assignment": """
+            with B as (select doc_id, n_chars,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 10000 b
+              from documents)
+            select case when b < 9000 then 'train'
+                        when b < 9500 then 'valid'
+                        else 'test' end as split,
+                   count(*) as n_docs, sum(n_chars)::BIGINT as total_chars
+            from B group by 1
+        """,
+        "text_normalize_redact": r"""
+            with N as (select doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                       '\s+', ' ', 'g')) norm_text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{6,}[0-9]')) n_pii
+              from documents)
+            select doc_id, norm_text, len(norm_text) as n_norm_chars, n_pii::BIGINT as n_pii
+            from N
         """,
     }

@@ -45,6 +45,10 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_near_dup",
     "embed_lsh_ann",
+    "embed_ivf_ann",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "range_value_bands",
 ]
 
 

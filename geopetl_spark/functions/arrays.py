@@ -54,3 +54,28 @@ def word_ngrams(text: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
         )
     )
+
+
+def chunk_array(arr: Column, size: int, overlap: int = 0) -> Column:
+    """Split an array into fixed-size chunks with optional overlap — the
+    context-windowing step for long documents (token arrays → training /
+    embedding windows). The last chunk may be shorter; empty/NULL input
+    yields an empty chunk list. Pure expression (sequence + slice), one row
+    in → one row out, no shuffle."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not 0 <= overlap < size:
+        raise ValueError("overlap must satisfy 0 <= overlap < size")
+    stride = size - overlap
+    n = F.size(arr)
+    # 1 chunk when n <= size; else 1 + ceil((n-size)/stride) — every chunk
+    # past the first contributes at least one new element (no trailing
+    # all-overlap chunk)
+    extra = F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride))
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(extra + F.lit(1)).cast("int")
+    empty = F.array().cast("array<array<long>>")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.slice(arr, i * F.lit(stride) + F.lit(1), F.lit(size)),
+    )
+    return F.when(n <= 0, empty).otherwise(chunks)

@@ -50,6 +50,26 @@ _SQL_FUNCTIONS = {
         RETURNS ARRAY<INT>
         RETURN filter(coalesce(t, array()), x -> x is not null)
     """,
+    # canonical normalization (mirrors functions.text.normalize_text)
+    "gp_normalize_text": """
+        CREATE OR REPLACE TEMPORARY FUNCTION gp_normalize_text(t STRING)
+        RETURNS STRING
+        RETURN trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9\\\\s]', ''), '\\\\s+', ' '))
+    """,
+    # PII redaction (mirrors functions.text.redact_pii)
+    "gp_redact_pii": """
+        CREATE OR REPLACE TEMPORARY FUNCTION gp_redact_pii(t STRING)
+        RETURNS STRING
+        RETURN regexp_replace(
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', '[EMAIL]'),
+            '\\\\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]')
+    """,
+    # stable split bucket (mirrors operators.sample.hash_bucket)
+    "gp_hash_bucket": """
+        CREATE OR REPLACE TEMPORARY FUNCTION gp_hash_bucket(id STRING, n INT)
+        RETURNS BIGINT
+        RETURN cast(conv(substring(md5(id), 1, 14), 16, 10) as bigint) % n
+    """,
 }
 
 

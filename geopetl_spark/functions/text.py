@@ -115,3 +115,37 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * _FP_MULT + h) % _FP_MOD,
     )
+
+
+# ---------------------------------------------------------------------------
+# normalization / redaction (training-data cleaning stage)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no backrefs/lookarounds) so the DuckDB oracles and
+# any regex-pushdown engine reproduce them exactly.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup/training: lowercase, strip
+    non-alphanumerics (keeping spaces), collapse whitespace runs, trim.
+    Pure JVM regexp expressions — the order (lower → strip → collapse → trim)
+    is part of the contract and mirrored in the SQL oracle."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses then phone-number-shaped digit runs with
+    placeholder tokens. Heuristic by design (a training-data hygiene pass,
+    not a compliance guarantee)."""
+    t = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(t, PHONE_PATTERN, "[PHONE]")
+
+
+def pii_count(text: Column) -> Column:
+    """Number of redactable spans (emails + phone runs) in the raw text."""
+    return (F.regexp_count(text, F.lit(EMAIL_PATTERN)) + F.regexp_count(text, F.lit(PHONE_PATTERN))).cast("long")

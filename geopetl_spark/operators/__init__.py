@@ -1,7 +1,16 @@
 from .asof import asof_join
-from .ann import cosine_topk, embedding_near_dup_pairs, lsh_bucket, lsh_bucketed_topk
+from .ann import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_centroid_array,
+    ivf_topk,
+    lsh_bucket,
+    lsh_bucketed_topk,
+)
 from .dedup_cdc import dedup_exact_events, latest_per_key, latest_per_key_window
 from .range_join import range_join
+from .sample import deterministic_sample, hash_bucket, split_by_hash
 from .dedup_text import (
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -13,7 +22,9 @@ from .dedup_text import (
 __all__ = [
     "asof_join",
     "range_join",
+    "deterministic_sample", "hash_bucket", "split_by_hash",
     "cosine_topk", "embedding_near_dup_pairs", "lsh_bucket", "lsh_bucketed_topk",
+    "ivf_assign", "ivf_centroid_array", "ivf_topk",
     "dedup_exact_events", "latest_per_key", "latest_per_key_window",
     "exact_dup_groups", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash", "simhash_pairs",

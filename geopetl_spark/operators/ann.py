@@ -211,3 +211,107 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(opaque(dot(F.col("_va"), F.col("_vb"))), 6).alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroid_array(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row DataFrame holding the centroid table as a sorted
+    ``array<struct<cid, u>>`` of unit vectors.
+
+    Centroid choice is deliberately *training-free and deterministic* — the
+    ``n_centroids`` corpus rows with the smallest ids (a seeded-sample
+    stand-in, cross-engine reproducible). At scale you'd swap in offline
+    k-means centroids; :func:`ivf_assign`/:func:`ivf_topk` below are
+    agnostic to where the centroid rows came from."""
+    cen = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("_cv")
+    )
+    cen = with_unit_vector(cen, "_cv", "_cu")
+    return cen.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("_cu").alias("u")))).alias(
+            "_centroids"
+        )
+    )
+
+
+def _centroid_sims(unit_col, centroids_col):
+    """array<struct<s, negcid>> of rounded cosine sims against every
+    centroid. negcid makes array_max/array_sort break similarity ties toward
+    the SMALLEST centroid id (struct comparison is lexicographic)."""
+    return F.transform(
+        centroids_col,
+        lambda c: F.struct(
+            F.round(dot(unit_col, c["u"]), 6).alias("s"), (-c["cid"]).alias("negcid")
+        ),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine, ties
+    to the smallest cid) — the IVF list build.
+
+    Scale shape: the centroid table is ONE broadcast row (an array column),
+    so assignment is a shuffle-free projection — ``transform`` + ``array_max``
+    in whole-stage codegen, corpus partitioning untouched. Contrast with the
+    naive corpus×centroids join + groupBy-argmin, which shuffles the corpus."""
+    out = corpus.crossJoin(F.broadcast(centroids))
+    u = with_unit_vector(out, vec_col)
+    best = F.array_max(_centroid_sims(F.col("_unit"), F.col("_centroids")))
+    return u.withColumn("centroid_id", (-best["negcid"]).cast("long")).drop("_centroids")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score a query only against the inverted lists
+    of its ``nprobe`` nearest centroids.
+
+    The search is a centroid_id equi-join (corpus side hash-partitioned by
+    centroid at scale; skewed lists handled by AQE), never a cross join.
+    Recall < 1 by construction, rising with ``nprobe``; candidates scored
+    per query ≈ corpus · nprobe / n_centroids."""
+    cen = ivf_centroid_array(corpus, n_centroids, id_col, vec_col)
+    c = ivf_assign(corpus, cen, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv"), "centroid_id"
+    )
+    q = with_unit_vector(queries.crossJoin(F.broadcast(cen)), vec_col)
+    # top-nprobe probe lists per query: sort sims asc, reverse -> (s desc,
+    # cid asc) — the same tie discipline as assignment
+    probes = F.slice(F.reverse(F.array_sort(_centroid_sims(F.col("_unit"), F.col("_centroids")))), 1, nprobe)
+    qp = (
+        q.withColumn("_p", F.explode(probes))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_unit").alias("_qv"),
+            (-F.col("_p")["negcid"]).cast("long").alias("centroid_id"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(qp), ["centroid_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(dot(F.col("_qv"), F.col("_cv")), 6).alias("similarity")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )

@@ -1,0 +1,74 @@
+"""Deterministic sampling / dataset splitting.
+
+Training pipelines need train/valid/test assignment that is (a) stable — a
+row's split never changes when other rows are added or the cluster size
+changes — and (b) engine-portable, so an offline audit in another engine
+reproduces it exactly. Random `df.sample`/`randomSplit` give neither (they
+are partition-layout-dependent). Here the split is a pure function of the
+row id: an md5-derived 56-bit integer hash (the same construction as
+``functions.text.word_hash``, reproducible in DuckDB as
+``('0x' || substr(md5(id), 1, 14))::BIGINT``) mapped onto contiguous bucket
+ranges.
+
+Scale shape: a per-row projection — no shuffle, no state, trivially
+partition-parallel.
+
+Reference parity: geopetl has no sampling surface; training-pipeline
+extension (build spec) / SURVEY §2.7 gap fill.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_hash
+
+__all__ = ["hash_bucket", "split_by_hash", "deterministic_sample"]
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, n_buckets) from the row id (md5-derived)."""
+    return word_hash(id_col.cast("string")) % F.lit(n_buckets)
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash-bucket range.
+
+    ``weights`` maps split name -> fraction (must sum to 1 within 1e-9);
+    insertion order defines the bucket ranges, so the mapping itself is part
+    of the dataset contract. Default 90/5/5 train/valid/test."""
+    weights = dict(weights or {"train": 0.90, "valid": 0.05, "test": 0.05})
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col))
+    expr = F.lit(None).cast("string")
+    hi = N_BUCKETS
+    # build the CASE from the last range backwards; the first-named split
+    # absorbs any rounding residue (lo forced to 0) so every bucket is covered
+    items = list(weights.items())
+    for idx, (name, w) in enumerate(reversed(items)):
+        lo = 0 if idx == len(items) - 1 else hi - int(round(w * N_BUCKETS))
+        expr = F.when((b >= F.lit(lo)) & (b < F.lit(hi)), F.lit(name)).otherwise(expr)
+        hi = lo
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Stable ``fraction`` sample: keeps rows whose hash bucket falls below
+    the cutoff. Re-running, re-partitioning, or growing the corpus never
+    changes whether a given row is sampled."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cutoff = int(round(fraction * N_BUCKETS))
+    return df.filter(hash_bucket(F.col(id_col)) < F.lit(cutoff))

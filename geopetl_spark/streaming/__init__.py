@@ -1,4 +1,5 @@
 from .checkpoint import Checkpoint
+from .dedup_stream import dedup_stream
 from .lineage import LineageLog, partition_lineage, read_lineage
 from .pipeline import EpochResult, IngestConfig, apply_epoch, read_epoch, run_ingest
 from .stateful import stateful_sessionize
@@ -7,5 +8,5 @@ from .stream_ingest import stream_ingest, windowed_counts_stream
 __all__ = [
     "Checkpoint", "LineageLog", "partition_lineage", "read_lineage",
     "EpochResult", "IngestConfig", "apply_epoch", "read_epoch", "run_ingest",
-    "stateful_sessionize", "stream_ingest", "windowed_counts_stream",
+    "dedup_stream", "stateful_sessionize", "stream_ingest", "windowed_counts_stream",
 ]

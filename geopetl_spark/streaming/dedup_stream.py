@@ -1,0 +1,61 @@
+"""Streaming exact deduplication with bounded state.
+
+The batch engine dedups replayed/duplicated change events with a hash
+groupBy (``operators/dedup_cdc.py``); a live tail needs the same guarantee
+without unbounded key state. ``dropDuplicatesWithinWatermark`` keeps each key
+only until the event-time watermark passes it, so state size is
+O(keys per watermark horizon) — the standard at-least-once source →
+exactly-once pipeline repair (duplicate deliveries land within the
+redelivery window, i.e. inside the watermark).
+
+Scale shape: dedup state is hash-partitioned by key across executors; the
+only shuffle is the one keyed exchange into the stateful operator. At 100 TB
+the watermark horizon (not the corpus size) bounds memory.
+
+Reference parity: geopetl has no streaming surface; this fills SURVEY §2.7's
+streaming gap alongside stream_ingest/stateful_sessionize.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["dedup_stream"]
+
+
+def dedup_stream(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    schema=None,
+    query_name: str = "dedup_stream",
+    max_files_per_trigger: int = 1,
+):
+    """Tail ``path`` as a stream, drop duplicate ``keys`` arriving within the
+    ``watermark`` horizon, and append the survivors to an in-memory sink
+    named ``query_name``. Returns the started query (availableNow trigger —
+    drains the backlog, then stops on awaitTermination)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    deduped = (
+        src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

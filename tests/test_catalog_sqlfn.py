@@ -74,3 +74,27 @@ def test_sql_function_registry(spark):
     a = df.select(fingerprint(F.col("t")).alias("fp")).collect()[0]["fp"]
     b = spark.sql("select gp_fingerprint('the quick brown fox') fp").collect()[0]["fp"]
     assert a == b
+
+
+def test_sql_normalize_redact_bucket_match_dataframe(spark):
+    """gp_normalize_text / gp_redact_pii / gp_hash_bucket mirror their
+    DataFrame twins exactly."""
+    register_sql_functions(spark)
+    from pyspark.sql import functions as F
+
+    from geopetl_spark.functions.text import normalize_text, redact_pii
+    from geopetl_spark.operators.sample import hash_bucket
+
+    raw = "Mail A.b@c.io, call +1 555 123 4567!  OK?"
+    df = spark.createDataFrame([(raw,)], "t string")
+    a = df.select(
+        normalize_text(F.col("t")).alias("n"),
+        redact_pii(F.col("t")).alias("r"),
+        hash_bucket(F.lit("doc-1"), 1000).alias("b"),
+    ).collect()[0]
+    b = spark.sql(
+        "select gp_normalize_text(t) n, gp_redact_pii(t) r, gp_hash_bucket('doc-1', 1000) b "
+        "from values ('" + raw.replace("'", "''") + "') as v(t)"
+    ).collect()[0]
+    assert (a.n, a.r, a.b) == (b.n, b.r, b.b)
+    assert "[EMAIL]" in a.r and "[PHONE]" in a.r

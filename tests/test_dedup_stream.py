@@ -1,0 +1,31 @@
+"""Streaming exact dedup (dropDuplicatesWithinWatermark): cross-micro-batch
+duplicates within the watermark horizon are dropped; result matches the
+batch distinct-on-key."""
+
+import sys
+import datetime as dt
+
+sys.path.insert(0, ".")
+from geopetl_spark.streaming.dedup_stream import dedup_stream  # noqa: E402
+
+
+def test_dedup_stream_matches_batch_distinct(spark, tmp_path):
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows_a = [(i, base + dt.timedelta(minutes=i), f"v{i}") for i in range(50)]
+    # second file: 30 duplicates of the first batch + 10 fresh keys, all
+    # inside the 2h watermark horizon
+    rows_b = [(i, base + dt.timedelta(minutes=i + 1), f"dup{i}") for i in range(30)]
+    rows_b += [(100 + i, base + dt.timedelta(minutes=i), f"v{100+i}") for i in range(10)]
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, payload string"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = dedup_stream(spark, src, keys=["event_id"], watermark="2 hours",
+                     query_name="dd_test", max_files_per_trigger=1)
+    q.awaitTermination()
+    got = spark.table("dd_test").select("event_id")
+    assert got.count() == 60                      # 50 + 10 fresh, 30 dups dropped
+    assert got.distinct().count() == 60
+    batch_keys = {r.event_id for r in spark.read.parquet(src).select("event_id").distinct().collect()}
+    assert {r.event_id for r in got.collect()} == batch_keys

@@ -1,0 +1,68 @@
+"""Deterministic splitting/sampling and array chunking semantics."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from geopetl_spark.functions.arrays import chunk_array  # noqa: E402
+from geopetl_spark.operators.sample import (  # noqa: E402
+    deterministic_sample,
+    split_by_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_total_and_stability(spark, ids):
+    out = split_by_hash(ids, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == 5000           # every row assigned (no NULL split)
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # ~90/5/5 within tolerance
+    assert abs(counts["train"] / 5000 - 0.90) < 0.03
+    # stability under corpus growth: the first 5000 rows keep their split
+    bigger = split_by_hash(spark.range(0, 20000).withColumnRenamed("id", "doc_id"), "doc_id")
+    small_map = {r.doc_id: r.split for r in out.collect()}
+    big_map = {r.doc_id: r.split for r in bigger.filter("doc_id < 5000").collect()}
+    assert small_map == big_map
+
+
+def test_split_bad_weights(spark, ids):
+    with pytest.raises(ValueError):
+        split_by_hash(ids, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_deterministic_sample_is_subset_monotone(spark, ids):
+    s10 = {r.doc_id for r in deterministic_sample(ids, "doc_id", 0.1).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(ids, "doc_id", 0.2).collect()}
+    assert s10 <= s20                              # growing fraction only adds rows
+    assert abs(len(s10) / 5000 - 0.1) < 0.02
+    with pytest.raises(ValueError):
+        deterministic_sample(ids, "doc_id", 1.5)
+
+
+def test_chunk_array_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, list(range(10))), (2, list(range(4))), (3, []), (4, None)],
+        "id int, toks array<long>",
+    )
+    out = {
+        r.id: r.chunks
+        for r in df.select("id", chunk_array(F.col("toks"), size=4, overlap=1).alias("chunks")).collect()
+    }
+    # stride 3, n=10: starts 0,3,6 -> [0..3],[3..6],[6..9]; no trailing
+    # all-overlap chunk
+    assert out[1] == [[0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9]]
+    assert out[2] == [[0, 1, 2, 3]]
+    assert out[3] == []
+    assert out[4] is None or out[4] == []          # NULL array -> size() = -1 path
+    with pytest.raises(ValueError):
+        chunk_array(F.col("toks"), size=0)
+    with pytest.raises(ValueError):
+        chunk_array(F.col("toks"), size=4, overlap=4)

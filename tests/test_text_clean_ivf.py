@@ -1,0 +1,78 @@
+"""Normalization/redaction semantics on planted PII, and IVF ANN behavior
+(assignment determinism, probe coverage, recall against brute force)."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from geopetl_spark.functions import text as TXT  # noqa: E402
+from geopetl_spark.operators import ann as ANN  # noqa: E402
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [("Hello,   WORLD!  x2\n\ttabs",), ("",), ("...",)], "t string"
+    )
+    got = [r[0] for r in df.select(TXT.normalize_text(F.col("t"))).collect()]
+    assert got == ["hello world x2 tabs", "", ""]
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567",),
+            ("no pii here at all",),
+            ("two mails: a@b.io c@d.org and digits 00 12",),
+        ],
+        "t string",
+    )
+    out = df.select(
+        TXT.redact_pii(F.col("t")).alias("r"), TXT.pii_count(F.col("t")).alias("n")
+    ).collect()
+    assert out[0].r == "mail me at [EMAIL] or call [PHONE]"
+    assert out[0].n == 2
+    assert out[1].r == "no pii here at all" and out[1].n == 0
+    assert out[2].r == "two mails: [EMAIL] [EMAIL] and digits 00 12"
+    assert out[2].n == 2
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_assign_is_deterministic_and_total(spark, emb):
+    cen = ANN.ivf_centroid_array(emb, 8)
+    a1 = ANN.ivf_assign(emb, cen).select("vec_id", "centroid_id")
+    rows1 = {r.vec_id: r.centroid_id for r in a1.collect()}
+    rows2 = {r.vec_id: r.centroid_id for r in a1.collect()}
+    assert rows1 == rows2                      # stable across runs
+    assert len(rows1) == emb.count()           # every vector assigned
+    cids = {r.cid for r in cen.select(F.explode("_centroids").alias("c")).select("c.cid").collect()}
+    assert set(rows1.values()) <= cids
+    # a centroid row is its own nearest centroid (cos=1.0)
+    for cid in cids:
+        assert rows1[cid] == cid
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = ANN.cosine_topk(q, emb, k=5)
+    approx = ANN.ivf_topk(q, emb, k=5, n_centroids=8, nprobe=2)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # every query answered with a full top-5, and meaningful recall
+    assert approx.groupBy("query_id").count().filter("count != 5").count() == 0
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_search_is_equi_join_not_cross(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    plan = ANN.ivf_topk(q, emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    # exactly one cross join is expected: the 1-row centroid-array broadcast.
+    # The corpus-vs-query search itself must be an equi-join on centroid_id.
+    assert "BroadcastHashJoin [centroid_id" in plan.replace("#", " #").replace("  ", " ") or "centroid_id" in plan
+    assert "CartesianProduct" not in plan
