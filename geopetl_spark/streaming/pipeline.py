@@ -28,7 +28,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
@@ -80,24 +80,23 @@ def apply_epoch(
     t0 = time.time()
     if cfg.sanitize:
         batch = sanitize_tokens(batch, vocab_size=cfg.vocab_size)
-    n_quarantined = 0
+    # Lineage + poison accounting ride the dedup job as observed metrics
+    # (CollectMetrics): the epoch is scanned exactly ONCE on the clean path —
+    # no separate lineage pre-scan job, no extra job when the batch is clean.
+    valid_pred = F.col(cfg.key_col).isNotNull() & F.col(cfg.lsn_col).isNotNull()
+    obs = Observation()
+    metrics = [
+        F.count(F.lit(1)).alias("rows"),
+        F.min(cfg.lsn_col).alias("min_lsn"),
+        F.max(cfg.lsn_col).alias("max_lsn"),
+    ]
     if cfg.quarantine:
-        valid_pred = F.col(cfg.key_col).isNotNull() & F.col(cfg.lsn_col).isNotNull()
-        # invalid counts ride the lineage aggregation — no extra job when
-        # the batch is clean (the common case)
-        plineage = partition_lineage(batch, lsn_col=cfg.lsn_col, invalid_pred=~valid_pred)
-        n_quarantined = sum(p.pop("invalid_rows", 0) or 0 for p in plineage)
-        if n_quarantined:
-            qdir = f"{cfg.checkpoint_path}/quarantine/epoch={epoch}"
-            batch.filter(~valid_pred).write.mode("overwrite").parquet(qdir)
-            batch = batch.filter(valid_pred)
-            for p in plineage:
-                p["rows_note"] = "pre-quarantine counts"
-    else:
-        plineage = partition_lineage(batch, lsn_col=cfg.lsn_col)
+        metrics.append(F.sum(F.when(~valid_pred, 1).otherwise(0)).alias("invalid_rows"))
+    observed = batch.observe(obs, *metrics)
+    to_merge = observed.filter(valid_pred) if cfg.quarantine else observed
     t_lineage = time.time()
     deduped = latest_per_key(
-        batch,
+        to_merge,
         key_col=cfg.key_col,
         lsn_col=cfg.lsn_col,
         op_col=cfg.op_col,
@@ -109,10 +108,31 @@ def apply_epoch(
         lsn_col=cfg.lsn_col,
         op_col=cfg.op_col,
         assume_deduped=True,
-        lineage=plineage,
         strategy=cfg.merge_strategy,
     )
     t1 = time.time()
+    n_quarantined = 0
+    if summary.get("operation") == "skip":
+        # nothing executed the observed plan — fall back to a direct scan so
+        # a deliberate re-apply still records what arrived (rare path)
+        plineage = partition_lineage(batch, lsn_col=cfg.lsn_col)
+    else:
+        got = obs.get
+        n_quarantined = int(got.get("invalid_rows") or 0)
+        plineage = [
+            {
+                "partition_id": -1,
+                "rows": int(got["rows"]),
+                "min_lsn": got["min_lsn"],
+                "max_lsn": got["max_lsn"],
+            }
+        ]
+        if n_quarantined:
+            # quarantined rows preserved verbatim for replay/forensics; the
+            # write job exists only on the poison path
+            qdir = f"{cfg.checkpoint_path}/quarantine/epoch={epoch}"
+            batch.filter(~valid_pred).write.mode("overwrite").parquet(qdir)
+            plineage[0]["rows_note"] = "pre-quarantine counts"
     summary = dict(summary)
     summary["phase_sec"] = {"lineage": round(t_lineage - t0, 2), "merge": round(t1 - t_lineage, 2)}
     summary["rows_quarantined"] = n_quarantined
