@@ -199,6 +199,11 @@ def main():
         # measured on an exhausted box understates the machine
         ceiling = machine_ceiling(args.n, args.xn)
         bw_ceiling = bandwidth_ceiling(args.n, args.xn)
+        if not 0.2 <= bw_ceiling <= 1.05:
+            # physically impossible / absurd reading -> host capacity moved
+            # DURING the probe; one retry after a cool-down
+            time.sleep(15)
+            bw_ceiling = bandwidth_ceiling(args.n, args.xn)
 
         # ABBA ordering cancels slow environment drift; best-of-k per level
         # discards stray GC/JIT-cold outliers (standard for single-node
@@ -215,6 +220,12 @@ def main():
             # steady-state estimator: median of per-epoch throughputs
             eps = sorted(r.get("per_epoch_eps") or [r["events_per_sec"]])
             return eps[len(eps) // 2]
+
+        # post-run ceilings: a clean session shows pre ≈ post; a big delta or
+        # an impossible (>1) reading documents host capacity moving during
+        # the session (the dominant noise source on this shared box)
+        ceiling_post = machine_ceiling(args.n, args.xn)
+        bw_ceiling_post = bandwidth_ceiling(args.n, args.xn)
 
         r_n = max(runs_n, key=steady)
         r_xn = max(runs_xn, key=steady)
@@ -236,6 +247,8 @@ def main():
             "cpu_pinned": bool(args.pin),
             "machine_parallel_ceiling": round(ceiling, 3),
             "machine_bandwidth_ceiling": round(bw_ceiling, 3),
+            "machine_parallel_ceiling_post": round(ceiling_post, 3),
+            "machine_bandwidth_ceiling_post": round(bw_ceiling_post, 3),
             "efficiency_vs_bandwidth_ceiling": round(eff / max(bw_ceiling, 1e-9), 3),
         }
         print(json.dumps(result))
