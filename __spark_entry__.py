@@ -305,12 +305,15 @@ def _q_json_props_extract(spark, sf):
     # JSON scalar extraction from the events.props payload column (JVM-side
     # get_json_object — no Python in the hot path)
     ev = _t(spark, sf, "events")
+    # floor-based rounding: F.round/DuckDB round() disagree on exact .5
+    # boundaries (hit at sf0.001: avg 28.84625); floor(x*1e4 + 0.5)/1e4 is
+    # the same IEEE arithmetic in both engines, so it can't diverge
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("k")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.floor(F.avg("value") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("avg_value"),
         )
     )
 
@@ -770,7 +773,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props_extract": """
             select json_extract_string(props, '$.k')::INT as k, count(*) as n_events,
-                   round(avg(value), 4) as avg_value
+                   floor(avg(value) * 10000.0 + 0.5) / 10000.0 as avg_value
             from events group by 1
         """,
         "text_token_stats": r"""

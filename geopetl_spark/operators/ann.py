@@ -251,23 +251,102 @@ def _centroid_sims(unit_col, centroids_col):
     )
 
 
+def _np_unit(mat):
+    """L2-normalize rows BIT-IDENTICALLY to with_unit_vector's sequential
+    fold: numpy's cumsum is a left-to-right IEEE scan, so
+    cumsum(v*v)[-1] == aggregate(zip_with(v,v,*), 0.0, +) exactly (0.0 + x0
+    is exactly x0; every subsequent add is the same op in the same order)."""
+    import numpy as np
+
+    nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    return mat / nrm[:, None]
+
+
+def _np_seq_dot(a, b):
+    """Row-wise dot via sequential scan — bit-identical to the Spark fold
+    (``functions.arrays.dot``), unlike np.dot/@ which use pairwise/BLAS
+    summation orders."""
+    import numpy as np
+
+    return np.cumsum(a * b, axis=1)[:, -1]
+
+
+def _assignment_expr(censims_col, cids: list[int]):
+    """argmax over the per-centroid sim array with (round6 desc, cid asc)
+    ties — the same discipline as the expression path, evaluated over 8
+    scalars per row (cheap) instead of 8 interpreted vector folds."""
+    zipped = F.arrays_zip(censims_col.alias("s"), F.array(*[F.lit(int(c)).cast("long") for c in cids]).alias("cid"))
+    best = F.array_max(
+        F.transform(zipped, lambda e: F.struct(F.round(e["s"], 6).alias("s"), (-e["cid"]).alias("negcid")))
+    )
+    return (-best["negcid"]).cast("long")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "gemm",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine, ties
-    to the smallest cid) — the IVF list build.
+    to the smallest cid) — the IVF list build. Output = corpus columns +
+    ``_unit`` (the L2-normalized vector) + ``centroid_id``.
 
-    Scale shape: the centroid table is ONE broadcast row (an array column),
-    so assignment is a shuffle-free projection — ``transform`` + ``array_max``
-    in whole-stage codegen, corpus partitioning untouched. Contrast with the
-    naive corpus×centroids join + groupBy-argmin, which shuffles the corpus."""
-    out = corpus.crossJoin(F.broadcast(centroids))
-    u = with_unit_vector(out, vec_col)
-    best = F.array_max(_centroid_sims(F.col("_unit"), F.col("_centroids")))
-    return u.withColumn("centroid_id", (-best["negcid"]).cast("long")).drop("_centroids")
+    ``method='gemm'`` (default): Arrow-batched numpy kernel. Spark's
+    higher-order functions (aggregate/zip_with lambdas) are CodegenFallback —
+    interpreted, ~0.25 ms per 64-dim dot — so the 8-dots-per-row assignment
+    is 100× cheaper as a vectorized numpy scan. The scan uses cumsum
+    (sequential IEEE adds), which reproduces the Spark fold BIT-FOR-BIT, so
+    cross-engine parity is exact, not approximate. The centroid table (k
+    rows) ships in the UDF closure — the one deliberate driver materialization,
+    bounded by n_centroids, never by the corpus.
+
+    ``method='fold'``: pure-expression variant (one broadcast array row +
+    array_max fold) — zero Python, corpus partitioning untouched; right when
+    Python workers are unavailable. Same results.
+    """
+    if method == "fold":
+        out = corpus.crossJoin(F.broadcast(centroids))
+        u = with_unit_vector(out, vec_col)
+        best = F.array_max(_centroid_sims(F.col("_unit"), F.col("_centroids")))
+        return u.withColumn("centroid_id", (-best["negcid"]).cast("long")).drop("_centroids")
+    if method != "gemm":
+        raise ValueError(f"unknown method {method!r} (gemm|fold)")
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cen_rows = centroids.collect()[0]["_centroids"]  # k rows, Spark-exact unit vecs
+    cids = [int(r["cid"]) for r in cen_rows]
+    cmat = np.array([list(r["u"]) for r in cen_rows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [
+            T.StructField("_unit", T.ArrayType(T.DoubleType())),
+            T.StructField("_censims", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            u = _np_unit(v)
+            sims = np.empty((len(pdf), len(cids)), dtype=np.float64)
+            for j in range(len(cids)):
+                sims[:, j] = _np_seq_dot(u, cmat[j][None, :])
+            pdf = pdf.copy()
+            pdf["_unit"] = list(u)
+            pdf["_censims"] = list(sims)
+            yield pdf
+
+    scored = corpus.mapInPandas(score_batches, schema=out_schema)
+    # round/tie semantics stay in Spark expressions (exact parity with the
+    # fold path and the SQL oracles)
+    return scored.withColumn("centroid_id", _assignment_expr(F.col("_censims"), cids)).drop("_censims")
 
 
 def ivf_topk(
@@ -278,6 +357,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "gemm",
 ) -> DataFrame:
     """IVF approximate top-k: score a query only against the inverted lists
     of its ``nprobe`` nearest centroids.
@@ -285,30 +365,62 @@ def ivf_topk(
     The search is a centroid_id equi-join (corpus side hash-partitioned by
     centroid at scale; skewed lists handled by AQE), never a cross join.
     Recall < 1 by construction, rising with ``nprobe``; candidates scored
-    per query ≈ corpus · nprobe / n_centroids."""
-    cen = ivf_centroid_array(corpus, n_centroids, id_col, vec_col)
-    c = ivf_assign(corpus, cen, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv"), "centroid_id"
+    per query ≈ corpus · nprobe / n_centroids. ``method='gemm'`` runs the
+    candidate scoring as a vectorized numpy scan (bit-identical to the fold —
+    see :func:`ivf_assign`); ``method='fold'`` stays pure-expression."""
+    # materialize the (tiny) centroid table ONCE and re-inject it as a
+    # literal: the centroid subtree would otherwise re-run its corpus
+    # TakeOrdered for every consumer (assign collect + query broadcast)
+    cen_rows = ivf_centroid_array(corpus, n_centroids, id_col, vec_col).collect()[0]["_centroids"]
+    cen = corpus.sparkSession.createDataFrame(
+        [([(int(r["cid"]), list(r["u"])) for r in cen_rows],)],
+        "_centroids array<struct<cid:bigint,u:array<double>>>",
+    )
+    c = ivf_assign(corpus, cen, id_col, vec_col, method=method).select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col("_unit").alias("_cv"), "centroid_id"
     )
     q = with_unit_vector(queries.crossJoin(F.broadcast(cen)), vec_col)
     # top-nprobe probe lists per query: sort sims asc, reverse -> (s desc,
-    # cid asc) — the same tie discipline as assignment
+    # cid asc) — the same tie discipline as assignment. Queries are few;
+    # the expression path is fine here.
     probes = F.slice(F.reverse(F.array_sort(_centroid_sims(F.col("_unit"), F.col("_centroids")))), 1, nprobe)
     qp = (
         q.withColumn("_p", F.explode(probes))
         .select(
-            F.col(id_col).alias("query_id"),
+            F.col(id_col).cast("long").alias("query_id"),
             F.col("_unit").alias("_qv"),
             (-F.col("_p")["negcid"]).cast("long").alias("centroid_id"),
         )
     )
-    scored = (
-        c.join(F.broadcast(qp), ["centroid_id"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+    pairs = c.join(F.broadcast(qp), ["centroid_id"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if method == "gemm":
+        import numpy as np
+
+        def pair_sims(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qv = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_qv"]])
+                cv = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_cv"]])
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "_sim": _np_seq_dot(qv, cv),
+                    }
+                )
+
+        scored = pairs.mapInPandas(
+            pair_sims, schema="query_id long, neighbor_id long, _sim double"
+        ).select("query_id", "neighbor_id", F.round(F.col("_sim"), 6).alias("similarity"))
+    else:
+        scored = pairs.select(
             "query_id", "neighbor_id", F.round(dot(F.col("_qv"), F.col("_cv")), 6).alias("similarity")
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

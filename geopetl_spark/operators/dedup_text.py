@@ -28,7 +28,7 @@ trip. Each operator is mirrored by an ANSI-SQL oracle in __spark_entry__.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import word_ngrams
@@ -113,29 +113,49 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
-    Candidate generation drops shingles with document frequency above
-    ``max_shingle_df`` (a df-f shingle alone emits f(f-1)/2 join rows — at
-    web scale one stopword shingle is a quadratic bomb). Jaccard is then
-    computed exactly on the FULL shingle sets of each candidate pair, so the
-    cap cannot change any emitted value; it can only miss a pair whose every
-    shared shingle is more frequent than the cap — vanishingly unlikely for
-    high thresholds. ``max_shingle_df=None`` disables the cap (exhaustive).
+    Candidate generation uses **prefix filtering** (the AllPairs/PPJoin
+    principle): under a global shingle order, two sets with
+    ``J(A,B) >= t`` MUST share a shingle within each side's first
+    ``|A| - ceil(t*|A|) + 1`` shingles, so only those prefix entries are
+    indexed. Ordering the prefix by ascending document frequency puts the
+    RAREST shingles in the index — the df-f quadratic bomb (one hot shingle
+    emits f(f-1)/2 join rows) defuses itself, because hot shingles land at
+    the back of every prefix. Unlike a df cap this is LOSSLESS: no pair at
+    or above the threshold can be missed.
+
+    ``max_shingle_df`` (optional, additive) additionally drops shingles with
+    df above the cap from the index — insurance for adversarial corpora, at
+    the cost of possibly missing a pair whose every shared PREFIX shingle is
+    hot. Jaccard is always computed exactly on the FULL shingle sets of each
+    candidate pair, so neither filter can change an emitted value.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
     """
     sh = _shingles(docs, text_col, id_col, n).persist()
     index = sh
+    if prefix_filter:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+        w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
+        index = (
+            sh.join(dfreq, "shingle")
+            .join(sizes, "_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1)
+        )
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
+            .agg(F.count("*").alias("_cnt"))
+            .filter(F.col("_cnt") <= max_shingle_df)
             .select("shingle")
         )
-        index = sh.join(keep, "shingle")  # map-side-combined df count, then semi-ish join
+        index = index.join(keep, "shingle")  # map-side-combined df count, then semi-ish join
+    index = index.select("_id", "shingle")
     a = index.alias("a")
     b = index.alias("b")
     candidates = (

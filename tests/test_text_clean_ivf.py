@@ -76,3 +76,15 @@ def test_ivf_search_is_equi_join_not_cross(spark, emb):
     # The corpus-vs-query search itself must be an equi-join on centroid_id.
     assert "BroadcastHashJoin [centroid_id" in plan.replace("#", " #").replace("  ", " ") or "centroid_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_gemm_matches_fold_bit_for_bit(spark, emb):
+    """The numpy scan (cumsum = sequential IEEE adds) must reproduce the
+    Spark expression fold EXACTLY — same sims, same ranks, same ties."""
+    q = emb.filter(F.col("vec_id") < 10)
+    key = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.similarity, r.rank) for r in df.collect()
+    )
+    g = ANN.ivf_topk(q, emb, k=5, n_centroids=8, nprobe=2, method="gemm")
+    f = ANN.ivf_topk(q, emb, k=5, n_centroids=8, nprobe=2, method="fold")
+    assert key(g) == key(f)
