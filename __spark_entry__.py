@@ -341,6 +341,28 @@ def _q_text_lang_quality(spark, sf):
     )
 
 
+def _q_corpus_clean_stats(spark, sf):
+    """The composed training-data cleaning flow in one plan: quality gate →
+    exact-dedup canonicalization → deterministic split → per-(split, lang)
+    accounting. Every stage is an operator with its own oracle-checked query;
+    this asserts the composition."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        TXT.lang_id(F.col("text")).alias("lang_pred"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    canon = DD.exact_dup_groups(kept.select("doc_id", "text")).filter("is_canonical").select("doc_id")
+    cleaned = split_by_hash(kept.join(canon, "doc_id"), "doc_id")
+    return cleaned.groupBy("split", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def _q_text_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -583,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_redact": _q_text_normalize_redact,
         "doc_token_chunks": _q_doc_token_chunks,
         "split_assignment": _q_split_assignment,
+        "corpus_clean_stats": _q_corpus_clean_stats,
     }
 
 
@@ -947,6 +970,31 @@ def oracle_sql() -> dict[str, str]:
                         else 'test' end as split,
                    count(*) as n_docs, sum(n_chars)::BIGINT as total_chars
             from B group by 1
+        """,
+        "corpus_clean_stats": f"""
+            with hits as (select doc_id, text, n_chars, {', '.join(stopword_cases)} from documents),
+            base as (select doc_id, text, n_chars,
+                   case when len(trim(text)) = 0 then 0 else len(string_split_regex(trim(text), '\\s+')) end as tc,
+                   len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE as n_punct,
+                   len(text)::DOUBLE as nc, hits_de, hits_en, hits_es, hits_fr
+                   from hits),
+            scored as (select doc_id, text, n_chars, {lang_best} as lang_pred,
+                   round(0.5 * least(tc / 100.0, 1.0)
+                       + 0.3 * (1.0 - case when nc = 0 then 0.0 else n_punct / nc end)
+                       + 0.2 * least(case when tc = 0 then 0.0 else hits_en::DOUBLE / tc end * 5.0, 1.0),
+                     6) as quality
+                   from base),
+            kept as (select * from scored where quality >= 0.5),
+            canon as (select doc_id from (
+                select doc_id, min(doc_id) over (partition by md5(text)) dup_group from kept)
+                where doc_id = dup_group),
+            cleaned as (select k.*,
+                   ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 14))::BIGINT % 10000 b
+                from kept k join canon using (doc_id))
+            select case when b < 9000 then 'train' when b < 9500 then 'valid'
+                        else 'test' end as split,
+                   lang_pred, count(*) as n_docs, sum(n_chars)::BIGINT as total_chars
+            from cleaned group by 1, 2
         """,
         "text_normalize_redact": r"""
             with N as (select doc_id,

@@ -49,6 +49,7 @@ HEADLINE = [
     "vocab_top_terms",
     "tfidf_top_terms",
     "range_value_bands",
+    "corpus_clean_stats",
 ]
 
 
