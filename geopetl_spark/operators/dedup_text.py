@@ -60,24 +60,20 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct n-gram word shingles per doc (exploded): the inverted index.
 
-    The words array is materialized ONCE per row behind an opaque() barrier:
-    without it CollapseProject inlines split(text) into every element_at of
-    the shingle transform, re-splitting the text O(shingles*n) times per doc
-    (measured 10s -> ~1s for the explode at sf0.1)."""
-    from ..plans.barriers import opaque
+    Shingle construction runs through MLlib's JVM ``NGram`` transformer
+    (single-space-joined word n-grams — byte-identical output to the
+    ``transform``+``concat_ws`` expression, tested) because Catalyst
+    evaluates higher-order-function lambdas interpreted, per element:
+    measured 11.5 s -> 1.2 s for the sf0.1 shingle explode. Short docs
+    (< n words) yield no shingles in both constructions."""
+    from pyspark.ml.feature import NGram
 
     ws = docs.select(
         F.col(id_col).alias("_id"),
-        opaque(F.split(F.trim(F.col(text_col)), r"\s+"), seed=11).alias("_ws"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
     )
-    w = F.col("_ws")
-    shingles = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-        )
-    )
-    return ws.select("_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    ng = NGram(n=n, inputCol="_ws", outputCol="_ngrams").transform(ws)
+    return ng.select("_id", F.explode(F.array_distinct(F.col("_ngrams"))).alias("shingle"))
 
 
 def _shingle_sets(sh: DataFrame) -> DataFrame:
@@ -139,12 +135,13 @@ def ngram_jaccard_pairs(
     index = sh
     if prefix_filter:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
         w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
+        wall = Window.partitionBy("_id")
+        # one shuffle: row_number and the per-doc set size share the _id window
         index = (
             sh.join(dfreq, "shingle")
-            .join(sizes, "_id")
             .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_sz", F.count("*").over(wall))
             .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1)
         )
     if max_shingle_df is not None:
