@@ -371,6 +371,26 @@ def _q_text_fingerprint(spark, sf):
     )
 
 
+def _q_bpe_encode_stats(spark, sf):
+    """Real learned-merges BPE tokenization (functions/bpe.py): text ->
+    subword token-id sequence via the shipped merges table, Arrow-batched.
+    Scalars leave (count, sum, and an order-SENSITIVE rolling hash, so the
+    oracle asserts the exact token sequence, not just its multiset)."""
+    from geopetl_spark.functions.bpe import bpe_encode
+
+    d = _t(spark, sf, "documents")
+    enc = bpe_encode(d.select("doc_id", "text"))
+    toks = F.transform(F.col("bpe_tokens"), lambda t: t.cast("long"))
+    return enc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tok"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % F.lit(1000000007)
+        ).alias("tok_hash"),
+    )
+
+
 def _q_doc_tokens_stats(spark, sf):
     """The input_hint tokenization path: text -> token array (md5 word
     hashes mod vocab) -> per-doc stats. Arrays stay JVM-side; only scalar
@@ -592,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "doc_length_histogram": _q_doc_length_histogram,
         "doc_tokens_stats": _q_doc_tokens_stats,
+        "bpe_encode_stats": _q_bpe_encode_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -651,14 +672,78 @@ SHH as (select doc_id, sum(case when s > 0 then (1::BIGINT << j) else 0::BIGINT 
 """
 
 
-def _lsh_bucket_sql(table_alias: str) -> str:
-    """bucket id from 4 deterministic integer hyperplanes (mirrors
-    geopetl_spark.operators.ann._hyperplane_sign_bits)."""
+def _lsh_bucket_sql(table_alias: str, n_bits: int = 4, j0: int = 0) -> str:
+    """bucket id from ``n_bits`` deterministic integer hyperplanes starting
+    at family index ``j0`` (mirrors
+    geopetl_spark.operators.ann._hyperplane_sign_bits / _multi_table_keyed:
+    table t of the near-dup index uses j0 = t*n_bits)."""
     terms = []
-    for j in range(4):
+    for jj in range(n_bits):
+        j = j0 + jj
         w = f"list_transform(range(64), d -> (((1103515245*(d + {31 * j}) + 12345) % 2001) - 1000)::DOUBLE)"
-        terms.append(f"(case when list_dot_product({table_alias}.v, {w}) > 0 then {1 << j} else 0 end)")
+        terms.append(f"(case when list_dot_product({table_alias}.v, {w}) > 0 then {1 << jj} else 0 end)")
     return " + ".join(terms)
+
+
+def _bpe_oracle_sql() -> str:
+    """Greedy rank-order BPE replicated in pure SQL: the shipped merges
+    table is inlined as VALUES; a recursive CTE applies, per word, the
+    leftmost occurrence of the current rank's pair until the rank no longer
+    applies, then advances the rank (provably equivalent to the engine's
+    single left-to-right merge pass per rank — a merged symbol can never
+    re-create its own pair to its left). Words are encoded once (distinct)
+    and re-joined to the doc word sequence by position, so the rolling hash
+    asserts the exact per-doc token ORDER. The '|' delimiter encoding is
+    sound for this corpus (no '|' in any document, asserted in pytest)."""
+    from geopetl_spark.functions.bpe import build_vocab, load_merges
+
+    merges, alphabet = load_merges()
+    vocab = build_vocab(merges, alphabet)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    mrows = ", ".join(
+        f"({r}, '|{esc(a)}|{esc(b)}|', '|{esc(a + b)}|')" for r, (a, b) in enumerate(merges)
+    )
+    vrows = ", ".join(f"('{esc(s)}', {i})" for i, s in enumerate(vocab))
+    n = len(merges)
+    return f"""
+        with recursive
+        M(r, pat, rep) as (select * from (values {mrows})),
+        V(tok, id) as (select * from (values {vrows})),
+        W0 as (select distinct w
+               from (select unnest(string_split_regex(trim(text), '\\s+')) w from documents)
+               where len(w) > 0),
+        ENC as (
+          select w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') s, 0 r from W0
+          union all
+          select w,
+                 case when pos > 0 then substr(s, 1, pos - 1) || rep || substr(s, pos + length(pat))
+                      else s end,
+                 case when pos > 0 then r else r + 1 end
+          from (select e.w, e.s, e.r, m.pat, m.rep, strpos(e.s, m.pat) pos
+                from ENC e join M m on m.r = e.r) q
+        ),
+        DONE as (select w, s from ENC where r = {n}),
+        SY as (select w, list_filter(string_split(s, '|'), x -> len(x) > 0) syms from DONE),
+        WS as (select w, unnest(list_transform(range(len(syms)), i -> {{'i': i, 's': syms[i+1]}})) e from SY),
+        WI as (select ws.w, ws.e.i as i, coalesce(v.id, 0) id from WS ws left join V on V.tok = ws.e.s),
+        WIDS as (select w, list(id order by i) ids from WI group by w),
+        DW0 as (select doc_id, string_split_regex(trim(text), '\\s+') ws from documents),
+        DW as (select doc_id, unnest(list_transform(range(len(ws)), i -> {{'i': i, 'w': ws[i+1]}})) e from DW0),
+        DW2 as (select doc_id, e.i as i, e.w as w from DW where len(e.w) > 0),
+        DJ as (select d.doc_id, d.i, x.ids from DW2 d join WIDS x using (w)),
+        DOC as (select doc_id, flatten(list(ids order by i)) toks from DJ group by doc_id),
+        ALLD as (select d.doc_id, coalesce(doc.toks, []) toks
+                 from documents d left join DOC doc using (doc_id))
+        select doc_id,
+               len(toks)::BIGINT as n_bpe_tok,
+               coalesce(list_sum(toks), 0)::BIGINT as tok_sum,
+               list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> t::BIGINT)),
+                           (a, b) -> (a * 31 + b) % 1000000007) as tok_hash
+        from ALLD
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -840,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(toks, 'max')::BIGINT as tok_max
             from T
         """,
+        "bpe_encode_stats": _bpe_oracle_sql(),
         "dedup_exact": """
             with h as (select doc_id, md5(text) ch from documents),
             g as (select ch, min(doc_id) dup_group, count(*) group_size from h group by ch)
@@ -877,14 +963,27 @@ def oracle_sql() -> dict[str, str]:
                               order by similarity desc, neighbor_id asc) rank from scored)
             select query_id, neighbor_id, similarity, rank from ranked where rank <= 5
         """,
-        "embed_near_dup": """
+        # mirrors the engine's DEFAULT (lsh) path: 4 independent 4-bit
+        # hyperplane bucket tables -> bucket equi-join candidates -> exact
+        # similarity on candidates only. Same hyperplane family, same raw-
+        # vector bucketing convention, so candidate MEMBERSHIP (not just
+        # values) matches the Spark side bit-for-bit.
+        "embed_near_dup": f"""
             with E as (select vec_id, embedding::DOUBLE[] v from embeddings),
             N as (select vec_id, v, sqrt(list_dot_product(v, v)) nrm from E),
-            U as (select vec_id, list_transform(v, x -> x / nrm) u from N)
-            select a.vec_id id_a, b.vec_id id_b,
-                   round(list_dot_product(a.u, b.u), 6) similarity
-            from U a join U b on a.vec_id < b.vec_id
-            where round(list_dot_product(a.u, b.u), 6) >= 0.4
+            U as (select vec_id, list_transform(v, x -> x / nrm) u from N),
+            B as (select vec_id,
+                    {", ".join(f"{_lsh_bucket_sql('E', 4, 4 * t)} as b{t}" for t in range(4))}
+                  from E),
+            K as (select vec_id, unnest([{", ".join(f"'{t}:' || b{t}::VARCHAR" for t in range(4))}]) k from B),
+            CAND as (select distinct a.vec_id id_a, b.vec_id id_b
+                     from K a join K b on a.k = b.k and a.vec_id < b.vec_id)
+            select c.id_a, c.id_b,
+                   round(list_dot_product(ua.u, ub.u), 6) similarity
+            from CAND c
+            join U ua on ua.vec_id = c.id_a
+            join U ub on ub.vec_id = c.id_b
+            where round(list_dot_product(ua.u, ub.u), 6) >= 0.4
         """,
         "embed_lsh_ann": f"""
             with E as (select vec_id, embedding::DOUBLE[] v from embeddings),

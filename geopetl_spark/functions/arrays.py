@@ -73,7 +73,9 @@ def chunk_array(arr: Column, size: int, overlap: int = 0) -> Column:
     # all-overlap chunk)
     extra = F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride))
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(extra + F.lit(1)).cast("int")
-    empty = F.array().cast("array<array<long>>")
+    # empty array<array<T>> derived from the input's own element type, so the
+    # operator works for any element type (array<string>, array<struct>, ...)
+    empty = F.slice(F.array(arr), 1, 0)
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.slice(arr, i * F.lit(stride) + F.lit(1), F.lit(size)),

@@ -1,0 +1,189 @@
+"""Deterministic byte-pair-encoding (BPE): a real learned-merges tokenizer
+for the ``tokens`` training-sequence path (input_hint), replacing the
+md5-word-hash stand-in for callers that want linguistic subword units.
+
+Architecture (the one real BPE trainers use, e.g. the original Sennrich
+implementation and HF tokenizers):
+
+* **training** — the corpus-sized work is ONE distributed aggregation
+  (word → count); the merge loop then runs over the compact (word, count)
+  vocabulary on the driver. At 100 TB the corpus never moves — only the
+  aggregated vocabulary does, prunable with ``min_count``. Memory is
+  O(distinct words), not O(corpus).
+* **encoding** — an Arrow-batched ``mapInPandas`` pass with the merges
+  table shipped in the closure (broadcast-equivalent: a few KB). Words are
+  memoized per Python worker, so each distinct word is encoded once per
+  partition regardless of corpus size. No per-row Python UDF calls — one
+  Python invocation per Arrow batch.
+
+Determinism contract (mirrored 1:1 by the DuckDB oracle in
+``__spark_entry__``): merges apply in rank order; within a rank, occurrences
+merge left-to-right non-overlapping, repeated until the rank no longer
+applies (equivalent to single leftmost-merge iteration — a merged symbol
+``a+b`` can never re-create its own pair to its left). Training tie-breaks:
+highest pair count, then lexicographically smallest pair. Token ids index
+the vocabulary ``['<unk>'] + sorted(alphabet) + [a+b per merge, in rank
+order]``; symbols containing characters unseen at training time encode as
+``<unk>`` (id 0).
+
+The default merges table (``geopetl_spark/data/bpe_merges.json``) was
+trained by :func:`train_bpe_merges` on the sf0.001 synthetic documents and
+is committed as data — the "merges table shipped as data" contract.
+
+Reference parity: geopetl has no tokenizer; this is the training-pipeline
+extension (SURVEY §2.7), upgrading the engine's tokenization path from the
+hash stand-in called out in round-2 review.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DATA_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "bpe_merges.json")
+
+_WS = re.compile(r"\s+")
+
+
+def _split_words(text: str) -> list[str]:
+    """Whitespace word split matching the engine's ``words()`` expression
+    and the oracle's ``string_split_regex(trim(text), '\\s+')`` with empties
+    dropped."""
+    if text is None:
+        return []
+    return [w for w in _WS.split(text.strip()) if w]
+
+
+def _merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One rank's merge: left-to-right, non-overlapping."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    ab = a + b
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 48,
+    text_col: str = "text",
+    min_count: int = 1,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """Learn a BPE merges table from a document corpus.
+
+    The corpus-scale step is the single word-count aggregation (map-side
+    combinable groupBy); the merge loop runs on the driver over the compact
+    vocabulary. Returns ``(merges, alphabet)`` — merges in rank order,
+    alphabet the sorted set of characters seen in training."""
+    wc = (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .collect()
+    )
+    counts = {r["w"]: int(r["c"]) for r in wc}
+    words: dict[str, list[str]] = {w: list(w) for w in counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # highest count, ties to the lexicographically smallest pair
+        best, best_c = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_c < min_pair_count:
+            break
+        merges.append(best)
+        a, b = best
+        words = {w: _merge_pass(s, a, b) for w, s in words.items()}
+    alphabet = sorted({ch for w in counts for ch in w})
+    return merges, alphabet
+
+
+def save_merges(merges: list[tuple[str, str]], alphabet: list[str], path: str = _DATA_PATH) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump({"merges": [list(m) for m in merges], "alphabet": alphabet}, fh, indent=1)
+
+
+def load_merges(path: str = _DATA_PATH) -> tuple[list[tuple[str, str]], list[str]]:
+    """The shipped default merges table (trained on sf0.001 documents)."""
+    with open(path) as fh:
+        doc = json.load(fh)
+    return [tuple(m) for m in doc["merges"]], list(doc["alphabet"])
+
+
+def build_vocab(merges: list[tuple[str, str]], alphabet: list[str]) -> list[str]:
+    """Token-id order: ``<unk>``, then the sorted alphabet, then merged
+    symbols in rank order. Index == token id."""
+    return ["<unk>"] + list(alphabet) + [a + b for a, b in merges]
+
+
+def encode_word(word: str, merges: list[tuple[str, str]], vocab_ids: dict[str, int]) -> list[int]:
+    """Greedy BPE encode of one word (rank-order merge application)."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_pass(syms, a, b)
+    return [vocab_ids.get(s, 0) for s in syms]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    alphabet: list[str] | None = None,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Add ``out_col: array<int>`` — the document's BPE token-id sequence.
+
+    Arrow-batched ``mapInPandas``; the merges table rides the closure and
+    each Python worker memoizes word encodings, so cost is O(distinct words
+    per partition), not O(tokens). All other columns pass through."""
+    from pyspark.sql import types as T
+
+    if merges is None or alphabet is None:
+        merges, alphabet = load_merges()
+    vocab_ids = {s: i for i, s in enumerate(build_vocab(merges, alphabet))}
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def encoder(batches):
+        cache: dict[str, list[int]] = {}
+
+        def enc_doc(text):
+            toks: list[int] = []
+            for w in _split_words(text):
+                ids = cache.get(w)
+                if ids is None:
+                    ids = encode_word(w, merges, vocab_ids)
+                    cache[w] = ids
+                toks.extend(ids)
+            return toks
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [enc_doc(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(encoder, schema=out_schema)

@@ -115,18 +115,110 @@ def lsh_bucketed_topk(
     )
 
 
+def _multi_table_keyed(
+    df: DataFrame,
+    n_bits: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow-batched pass over the corpus emitting, per row, the
+    L2-normalized vector plus ``n_tables`` LSH bucket keys ('t:bucket').
+
+    Table t uses hyperplanes j = t*n_bits .. t*n_bits+n_bits-1 of the shared
+    deterministic family (:func:`_hyperplane_sign_bits`), so table 0 is
+    byte-compatible with :func:`lsh_bucket` and every table is reproducible
+    in the SQL oracle. Buckets hash the RAW (double-cast) vector — the same
+    convention as :func:`lsh_bucket` — and all dots are sequential IEEE
+    scans (:func:`_np_seq_dot`), bit-identical to the Spark expression fold.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    def _planes(dim: int):
+        # hyperplane weights are a pure function of (j, d): any executor (and
+        # the SQL oracle) regenerates the identical family for its dim
+        return np.array(
+            [
+                [float((1103515245 * (d + 31 * j) + 12345) % 2001 - 1000) for d in range(dim)]
+                for j in range(n_bits * n_tables)
+            ],
+            dtype=np.float64,
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_unit", T.ArrayType(T.DoubleType())),
+            T.StructField("_keys", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def keyer(batches):
+        import pandas as pd
+
+        W = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            if W is None:
+                W = _planes(v.shape[1])
+            u = _np_unit(v)
+            signs = np.empty((len(pdf), n_bits * n_tables), dtype=bool)
+            for j in range(n_bits * n_tables):
+                signs[:, j] = _np_seq_dot(v, W[j][None, :]) > 0
+            keys = []
+            for t in range(n_tables):
+                b = (signs[:, t * n_bits : (t + 1) * n_bits] * (1 << np.arange(n_bits))).sum(axis=1)
+                keys.append(np.char.add(f"{t}:", b.astype(np.int64).astype(str)))
+            kmat = np.stack(keys, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].astype("int64"),
+                    "_unit": list(u),
+                    "_keys": list(kmat),
+                }
+            )
+
+    return df.mapInPandas(keyer, schema=out_schema)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "blocked",
+    method: str = "lsh",
     n_blocks: int = 8,
+    n_bits: int = 4,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
-    ``method='blocked'`` (default): fully-distributed exact all-pairs search,
-    no driver materialization and no corpus-wide broadcast —
+    ``method='lsh'`` (default — the 100-TB path): sub-quadratic candidate
+    generation, then exact verification of candidates ONLY —
+
+    1. **candidate pass**: every vector is hashed into ``n_tables``
+       independent random-hyperplane bucket tables (``n_bits`` bits each,
+       deterministic shared hyperplane family); pairs sharing any
+       (table, bucket) key become candidates via one bucket **equi-join** —
+       the pair space is never enumerated. Work ∝ Σ bucket², bounded by
+       the bucket granularity, not n².
+    2. **verify pass**: candidates join back to their unit vectors and get
+       an exact sequential-fold cosine (Arrow-batched numpy scan,
+       bit-identical to the expression fold), rounded to 6dp, thresholded.
+
+    Recall < 1 by construction (a true pair colliding in no table is
+    missed); it rises with ``n_tables`` and falls with ``n_bits``. Collision
+    probability per table is (1 - θ/π)^n_bits, so recall is high in the
+    real near-dup regime (θ small: sim ≥ 0.9 → ~0.99 at 4×4) and degrades
+    toward random-pair thresholds — measured per corpus in
+    ``BENCH/BASELINE.md``. Exactness of emitted VALUES is unconditional:
+    only membership is approximate.
+
+    ``method='blocked'``: exact all-pairs for small corpora / recall audits,
+    fully-distributed (no driver materialization, no corpus broadcast) —
 
     1. **candidate pass**: every vector is hashed into one of ``n_blocks``
        blocks; each unordered block pair (bi ≤ bj) becomes one
@@ -146,6 +238,38 @@ def embedding_near_dup_pairs(
     ``method='fold'``: single-pass expression-only variant (no Python at
     all) — the conservative fallback.
     """
+    if method == "lsh":
+        keyed = _multi_table_keyed(df, n_bits, n_tables, id_col, vec_col)
+        kx = keyed.select("_id", F.explode("_keys").alias("_tb"))
+        ka, kb = kx.alias("ka"), kx.alias("kb")
+        candidates = (
+            ka.join(kb, (F.col("ka._tb") == F.col("kb._tb")) & (F.col("ka._id") < F.col("kb._id")))
+            .select(F.col("ka._id").alias("id_a"), F.col("kb._id").alias("id_b"))
+            .distinct()
+        )
+        ua = keyed.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_va"))
+        ub = keyed.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"))
+        pairs = candidates.join(ua, "id_a").join(ub, "id_b")
+
+        def pair_sims(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                va = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_va"]])
+                vb = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_vb"]])
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "_sim": _np_seq_dot(va, vb)}
+                )
+
+        return (
+            pairs.mapInPandas(pair_sims, schema="id_a long, id_b long, _sim double")
+            .select("id_a", "id_b", F.round(F.col("_sim"), 6).alias("similarity"))
+            .filter(F.col("similarity") >= threshold)
+        )
+
     u = with_unit_vector(df, vec_col)
     if method == "fold":
         a = u.select(F.col(id_col).alias("id_a"), F.col("_unit").alias("_va"))

@@ -28,7 +28,7 @@ trip. Each operator is mirrored by an ANSI-SQL oracle in __spark_entry__.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.arrays import word_ngrams
@@ -130,29 +130,43 @@ def ngram_jaccard_pairs(
     hot. Jaccard is always computed exactly on the FULL shingle sets of each
     candidate pair, so neither filter can change an emitted value.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+
+    Storage hygiene: the shingle explode is deliberately NOT persisted. The
+    index side and the verify side each recompute it from the (column-pruned)
+    scan — at 100 TB the exploded shingle set dwarfs cluster storage, so
+    pinning it trades a second columnar scan for eviction churn and a
+    storage leak in long-running sessions (each call would pin an explode
+    until GC). Callers who KNOW the corpus is small can pass an
+    already-persisted ``docs`` and manage its lifetime themselves.
     """
-    sh = _shingles(docs, text_col, id_col, n).persist()
+    sh = _shingles(docs, text_col, id_col, n)
     index = sh
     if prefix_filter:
+        # ONE df aggregation serves both the prefix order and the optional
+        # hot-shingle cap; the join reuses dfreq's by-shingle exchange. The
+        # per-doc prefix is one groupBy (sort_array + slice) instead of two
+        # window evaluations — same (df asc, shingle asc) order, same
+        # |prefix| = sz - ceil(t*sz) + 1 bound over the FULL set size.
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
-        wall = Window.partitionBy("_id")
-        # one shuffle: row_number and the per-doc set size share the _id window
-        index = (
+        per_doc = (
             sh.join(dfreq, "shingle")
-            .withColumn("_rn", F.row_number().over(w))
-            .withColumn("_sz", F.count("*").over(wall))
-            .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1)
+            .groupBy("_id")
+            .agg(F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("shingle")))).alias("_lst"))
         )
-    if max_shingle_df is not None:
+        sz = F.size(F.col("_lst"))
+        plen = sz - F.ceil(F.lit(float(threshold)) * sz) + F.lit(1)
+        index = per_doc.select("_id", F.explode(F.slice(F.col("_lst"), F.lit(1), plen)).alias("_e"))
+        if max_shingle_df is not None:
+            index = index.filter(F.col("_e._df") <= max_shingle_df)
+        index = index.select("_id", F.col("_e.shingle").alias("shingle"))
+    elif max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_cnt"))
             .filter(F.col("_cnt") <= max_shingle_df)
             .select("shingle")
         )
-        index = index.join(keep, "shingle")  # map-side-combined df count, then semi-ish join
-    index = index.select("_id", "shingle")
+        index = index.join(keep, "shingle").select("_id", "shingle")
     a = index.alias("a")
     b = index.alias("b")
     candidates = (
@@ -192,7 +206,9 @@ def minhash_lsh_pairs(
     |candidates|·doc_size; the quadratic shingle-pair space is never joined.
     """
     k = bands * rows_per_band
-    sh = _shingles(docs, text_col, id_col, n).persist()
+    # not persisted — same storage-hygiene reasoning as ngram_jaccard_pairs:
+    # the signature side and the verify side each recompute the explode
+    sh = _shingles(docs, text_col, id_col, n)
     hashed = sh.withColumn(
         "_x", F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long") % F.lit(_MINHASH_PRIME)
     )

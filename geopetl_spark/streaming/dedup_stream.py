@@ -9,8 +9,11 @@ exactly-once pipeline repair (duplicate deliveries land within the
 redelivery window, i.e. inside the watermark).
 
 Scale shape: dedup state is hash-partitioned by key across executors; the
-only shuffle is the one keyed exchange into the stateful operator. At 100 TB
-the watermark horizon (not the corpus size) bounds memory.
+only shuffle is the one keyed exchange into the stateful operator. The
+watermark horizon (not the corpus size) bounds the OPERATOR's state; total
+memory is then bounded only if the caller attaches a distributed sink —
+the built-in ``sink='memory'`` convenience collects all output on the
+driver and is test-only (per Spark's own docs).
 
 Reference parity: geopetl has no streaming surface; this fills SURVEY §2.7's
 streaming gap alongside stream_ingest/stateful_sessionize.
@@ -35,11 +38,18 @@ def dedup_stream(
     schema=None,
     query_name: str = "dedup_stream",
     max_files_per_trigger: int = 1,
+    sink: str | None = None,
 ):
-    """Tail ``path`` as a stream, drop duplicate ``keys`` arriving within the
-    ``watermark`` horizon, and append the survivors to an in-memory sink
-    named ``query_name``. Returns the started query (availableNow trigger —
-    drains the backlog, then stops on awaitTermination)."""
+    """Tail ``path`` as a stream and drop duplicate ``keys`` arriving within
+    the ``watermark`` horizon.
+
+    With ``sink=None`` (default) returns the transformed STREAMING DataFrame
+    — the caller attaches its own production sink (``writeStream`` to
+    parquet/kafka, or ``foreachBatch``), which is the 100-TB path: output
+    flows executor-side, never through the driver. ``sink='memory'`` starts
+    an in-memory append sink named ``query_name`` and returns the started
+    query (availableNow trigger) — TEST-ONLY, since the memory sink collects
+    all output on the driver."""
     if schema is None:
         schema = spark.read.parquet(path).schema
     src = (
@@ -52,6 +62,10 @@ def dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(list(keys))
     )
+    if sink is None:
+        return deduped
+    if sink != "memory":
+        raise ValueError(f"unknown sink {sink!r} (None|'memory')")
     return (
         deduped.writeStream.outputMode("append")
         .format("memory")

@@ -40,7 +40,16 @@ def partition_lineage(
 
 
 class LineageLog:
-    """Append-only JSONL lineage log next to the checkpoint."""
+    """Append-only JSONL lineage log next to the checkpoint.
+
+    ``partitions`` record format: on the normal ingest path the epoch's
+    offsets/counts are observed as a side-effect of the dedup scan
+    (``Observation`` — zero extra jobs) which cannot attribute rows to input
+    partitions, so the epoch carries ONE aggregate record with the sentinel
+    ``partition_id = -1``. Per-partition granularity (``partition_id >= 0``,
+    one record per input partition from :func:`partition_lineage`) appears
+    on paths that run the dedicated lineage scan (e.g. re-apply of an
+    already-committed epoch). Consumers must branch on the sentinel."""
 
     def __init__(self, path: str):
         self.path = path

@@ -114,8 +114,12 @@ def apply_epoch(
     n_quarantined = 0
     if summary.get("operation") == "skip":
         # nothing executed the observed plan — fall back to a direct scan so
-        # a deliberate re-apply still records what arrived (rare path)
-        plineage = partition_lineage(batch, lsn_col=cfg.lsn_col)
+        # a deliberate re-apply still records what arrived (rare path), with
+        # the same poison-row accounting as the normal path
+        plineage = partition_lineage(
+            batch, lsn_col=cfg.lsn_col, invalid_pred=(~valid_pred) if cfg.quarantine else None
+        )
+        n_quarantined = sum(int(p.pop("invalid_rows", 0) or 0) for p in plineage)
     else:
         got = obs.get
         n_quarantined = int(got.get("invalid_rows") or 0)

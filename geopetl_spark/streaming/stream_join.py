@@ -8,8 +8,10 @@ evicted once the left watermark passes right.ts + interval, so state is
 O(events per watermark horizon), never O(stream).
 
 Scale shape: both sides hash-partition by key into the stateful join; the
-interval condition prunes state inside each key partition. At 100 TB/day the
-watermark horizon (not history) bounds executor memory.
+interval condition prunes state inside each key partition. The watermark
+horizon (not history) bounds the JOIN's state; end-to-end memory is bounded
+only with a distributed sink — ``sink='memory'`` is the test-only
+convenience (driver-side collection, per Spark's own docs).
 
 Reference parity: geopetl has no streaming surface; SURVEY §2.7 gap fill.
 """
@@ -33,12 +35,17 @@ def stream_interval_join(
     query_name: str = "stream_join",
     left_schema=None,
     right_schema=None,
+    sink: str | None = None,
 ):
     """Tail two parquet directories as streams and inner-join them where
     ``left.key == right.key`` and ``left.ts`` falls within
     ``[right.ts, right.ts + interval]``. Right columns come out prefixed
-    ``r_``. Appends to an in-memory sink named ``query_name``; returns the
-    started query (availableNow trigger)."""
+    ``r_``.
+
+    With ``sink=None`` (default) returns the joined STREAMING DataFrame for
+    the caller's own production sink (the scale path). ``sink='memory'``
+    appends to an in-memory sink named ``query_name`` and returns the
+    started query (availableNow trigger) — test-only."""
     if left_schema is None:
         left_schema = spark.read.parquet(left_path).schema
     if right_schema is None:
@@ -62,6 +69,10 @@ def stream_interval_join(
         & (F.col(ts_col) <= F.col(f"r_{ts_col}") + F.expr(f"INTERVAL {interval}"))
     )
     joined = left.join(right, cond, "inner")
+    if sink is None:
+        return joined
+    if sink != "memory":
+        raise ValueError(f"unknown sink {sink!r} (None|'memory')")
     return (
         joined.writeStream.outputMode("append")
         .format("memory")

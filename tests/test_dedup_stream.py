@@ -21,8 +21,12 @@ def test_dedup_stream_matches_batch_distinct(spark, tmp_path):
     spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("overwrite").parquet(src)
     spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
 
+    # default (production) surface: a streaming DataFrame for the caller's sink
+    streaming_df = dedup_stream(spark, src, keys=["event_id"], watermark="2 hours")
+    assert streaming_df.isStreaming
+
     q = dedup_stream(spark, src, keys=["event_id"], watermark="2 hours",
-                     query_name="dd_test", max_files_per_trigger=1)
+                     query_name="dd_test", max_files_per_trigger=1, sink="memory")
     q.awaitTermination()
     got = spark.table("dd_test").select("event_id")
     assert got.count() == 60                      # 50 + 10 fresh, 30 dups dropped

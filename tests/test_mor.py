@@ -38,7 +38,9 @@ def _batch(spark, rows):
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return generate_cdc_events(spark, 3000, n_keys=150, events_per_epoch=1000).cache()
+    df = generate_cdc_events(spark, 3000, n_keys=150, events_per_epoch=1000).cache()
+    yield df
+    df.unpersist()  # session-scoped SparkSession: don't leak storage into later modules
 
 
 def test_mor_equals_cow_final_state(spark, tmp_path, events):

@@ -1,0 +1,87 @@
+"""The sub-quadratic (LSH-candidate) default of embedding_near_dup_pairs:
+plan shape (bucket equi-join, no block-pair fan-out), value-exactness vs the
+exact blocked mode, planted-near-dup recall in the realistic high-threshold
+regime, and storage hygiene of the dedup_text operators (no leaked persists)."""
+
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from geopetl_spark.operators import ann as ANN  # noqa: E402
+from geopetl_spark.operators import dedup_text as DD  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_default_plan_is_bucket_equi_join_not_block_fanout(spark, emb):
+    """The DEFAULT path must generate candidates through a (table, bucket)
+    equi-join — NOT the B(B+1)/2 block-pair applyInPandas fan-out of the
+    exact mode."""
+    plan = _plan(ANN.embedding_near_dup_pairs(emb, threshold=0.4))
+    # candidate generation: a hash equi-join keyed on the bucket key _tb
+    assert "_tb" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the blocked mode's signature operator must be absent
+    assert "FlatMapGroupsInPandas" not in plan
+    # the exact mode (opt-in) still uses the block-pair fan-out
+    blocked = _plan(ANN.embedding_near_dup_pairs(emb, threshold=0.4, method="blocked"))
+    assert "FlatMapGroupsInPandas" in blocked
+
+
+def test_lsh_pairs_are_exact_valued_subset_of_blocked(spark, emb):
+    """LSH approximates MEMBERSHIP only: every emitted pair must appear in
+    the exact all-pairs result with the identical 6dp similarity."""
+    lsh = {
+        (r.id_a, r.id_b): r.similarity
+        for r in ANN.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.similarity
+        for r in ANN.embedding_near_dup_pairs(emb, threshold=0.4, method="blocked").collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)
+    assert len(lsh) > 0
+
+
+def test_planted_near_dup_recall_high_threshold(spark):
+    """In the regime the operator exists for (near-duplicates, sim >= 0.9,
+    i.e. small angles) the 4x4-bit multi-table index must recover nearly all
+    pairs. 40 random base vectors each get one small-perturbation copy."""
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 64))
+    noise = 0.05 * rng.normal(size=(40, 64))
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((1000 + i, [float(x) for x in base[i] + noise[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ANN.embedding_near_dup_pairs(df, threshold=0.9)
+    exact = ANN.embedding_near_dup_pairs(df, threshold=0.9, method="blocked")
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert len(exact_pairs) >= 35  # the plant worked: most copies are >= 0.9
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"planted-near-dup recall {recall:.2f}"
+
+
+def test_dedup_operators_leave_no_persistent_rdds(spark, sf_dir):
+    """Directive: the shingle cache must not leak into session storage —
+    executing the jaccard/minhash operators leaves getPersistentRDDs empty."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    DD.ngram_jaccard_pairs(docs, threshold=0.8, n=3).count()
+    DD.minhash_lsh_pairs(docs, threshold=0.8, n=3).count()
+    ANN.embedding_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.4
+    ).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

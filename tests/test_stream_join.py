@@ -19,7 +19,7 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         spark, purch_dir, clicks_dir,
         key_col="user_id", ts_col="ts",
         interval="1 hour", watermark="24 hours",
-        query_name="sj_test",
+        query_name="sj_test", sink="memory",
     )
     q.awaitTermination()
     got = spark.table("sj_test").select("event_id", "r_event_id")

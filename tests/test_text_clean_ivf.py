@@ -72,10 +72,14 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
 def test_ivf_search_is_equi_join_not_cross(spark, emb):
     q = emb.filter(F.col("vec_id") < 20)
     plan = ANN.ivf_topk(q, emb, k=5)._jdf.queryExecution().executedPlan().toString()
-    # exactly one cross join is expected: the 1-row centroid-array broadcast.
-    # The corpus-vs-query search itself must be an equi-join on centroid_id.
-    assert "BroadcastHashJoin [centroid_id" in plan.replace("#", " #").replace("  ", " ") or "centroid_id" in plan
+    # The corpus-vs-query search must be a hash equi-join KEYED on
+    # centroid_id (either build side), never a cross/nested-loop pair scan.
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)\s*\[centroid_id", plan), plan
     assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row centroid-array broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_ivf_gemm_matches_fold_bit_for_bit(spark, emb):
