@@ -85,6 +85,8 @@ from geopetl_spark.run import DOC_SCHEMA
 from geopetl_spark.streaming.pipeline import IngestConfig, run_ingest
 
 cores = int(sys.argv[1]); log = sys.argv[2]; work = sys.argv[3]
+strategy = sys.argv[4] if len(sys.argv) > 4 else "cow"
+compact_every = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 # shuffle/spill dirs co-located with the work dir (tmpfs when available):
 # in local mode all "executors" share one machine's disk — a sandbox
 # artifact; real 4N-executor clusters bring 4N disks. See BENCH/BASELINE.md.
@@ -92,7 +94,8 @@ extra = {{"spark.local.dir": os.path.join(work, "spark-local")}}
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]", extra_conf=extra)
 tp = os.path.join(work, "lake"); ck = os.path.join(work, "ck")
 LakeTable(spark, tp).create(DOC_SCHEMA, key_col="doc_id", n_buckets=64)
-cfg = IngestConfig(log_path=log, table_path=tp, checkpoint_path=ck)
+cfg = IngestConfig(log_path=log, table_path=tp, checkpoint_path=ck,
+                   merge_strategy=strategy)
 # untimed JVM warmup: fresh JVMs spend their first ~60s in C2/codegen
 # compilation churn (measured: first-minute throughput is 2-4x noisier);
 # exercise the same codegen paths (hashing, shuffle, parquet write) with a
@@ -101,15 +104,26 @@ from geopetl_spark.sources.cdc_gen import write_cdc_log
 write_cdc_log(spark, os.path.join(work, "warm"), 1_000_000,
               n_keys=50_000, events_per_epoch=500_000, max_tokens=128)
 warm = run_ingest(spark, cfg, max_epochs=2)
+table = LakeTable(spark, tp)
+# Timed region. For MoR, compaction rides INSIDE the timed region on a
+# fixed epoch cadence — the honest sustained cost of the strategy (delta
+# accumulation is not free; the read-optimized state must be paid for).
 t0 = time.time()
-rest = run_ingest(spark, cfg)
+rest = []
+while True:
+    step = run_ingest(spark, cfg, max_epochs=compact_every or None)
+    rest.extend(step)
+    if strategy == "mor" and step:
+        table.compact()
+    if not step or not compact_every:
+        break
 elapsed = time.time() - t0
 events = sum(r.rows for r in rest)
-cs = LakeTable(spark, tp).checksum()
+cs = table.checksum()
 print(json.dumps({{"cores": cores, "events": events, "elapsed_sec": elapsed,
                    "events_per_sec": events / max(elapsed, 1e-9),
                    "per_epoch_eps": [round(r.events_per_sec, 1) for r in rest],
-                   "checksum": str(cs)}}))
+                   "strategy": strategy, "checksum": str(cs)}}))
 spark.stop()
 """
 
@@ -126,11 +140,18 @@ def _fast_tmp() -> str | None:
     return None
 
 
-def run_at(cores: int, log: str, repo: str, pin: bool = False) -> dict:
+def run_at(
+    cores: int,
+    log: str,
+    repo: str,
+    pin: bool = False,
+    strategy: str = "cow",
+    compact_every: int = 0,
+) -> dict:
     work = tempfile.mkdtemp(prefix=f"scal{cores}_", dir=_fast_tmp())
     try:
         script = RUNNER.format(repo=repo)
-        cmd = [sys.executable, "-c", script, str(cores), log, work]
+        cmd = [sys.executable, "-c", script, str(cores), log, work, strategy, str(compact_every)]
         if pin:
             # Pin the whole process tree (JVM + forked python workers) to
             # exactly `cores` CPUs. Without this, a local[4] JVM on an idle
@@ -166,6 +187,14 @@ def main():
     p.add_argument("--log-path", default=None,
                    help="reuse a pre-generated event log (kept afterwards) "
                         "instead of generating+deleting one")
+    p.add_argument("--strategy", choices=["cow", "mor"], default="cow",
+                   help="merge strategy under test; mor compacts on a cadence "
+                        "inside the timed region")
+    p.add_argument("--compact-every", type=int, default=2,
+                   help="(mor only) compaction cadence in epochs")
+    p.add_argument("--cross-strategy-check", action="store_true",
+                   help="run ONE extra untimed run with the OTHER strategy at "
+                        "4N on the same log and assert checksum equality")
     args = p.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -208,13 +237,17 @@ def main():
         # ABBA ordering cancels slow environment drift; best-of-k per level
         # discards stray GC/JIT-cold outliers (standard for single-node
         # throughput measurement).
+        compact_every = args.compact_every if args.strategy == "mor" else 0
         runs_n, runs_xn = [], []
         for i in range(args.repeats):
             order = [(args.n, runs_n), (args.xn, runs_xn)]
             if i % 2 == 1:
                 order.reverse()
             for cores, sink in order:
-                sink.append(run_at(cores, log, repo, pin=args.pin))
+                sink.append(
+                    run_at(cores, log, repo, pin=args.pin,
+                           strategy=args.strategy, compact_every=compact_every)
+                )
                 time.sleep(10)  # thermal/turbo cool-down between runs
         def steady(r):
             # steady-state estimator: median of per-epoch throughputs
@@ -229,6 +262,12 @@ def main():
 
         r_n = max(runs_n, key=steady)
         r_xn = max(runs_xn, key=steady)
+        other_checksum = None
+        if args.cross_strategy_check:
+            other = "cow" if args.strategy == "mor" else "mor"
+            o = run_at(args.xn, log, repo, pin=args.pin, strategy=other,
+                       compact_every=(args.compact_every if other == "mor" else 0))
+            other_checksum = o["checksum"]
         print(json.dumps({"all_runs": [
             {"cores": r["cores"], "events_per_sec": round(r["events_per_sec"], 1),
              "per_epoch_eps": r.get("per_epoch_eps")} for r in runs_n + runs_xn]}))
@@ -243,6 +282,11 @@ def main():
             "events_per_sec_4n_full": round(r_xn["events_per_sec"], 1),
             "scaling_efficiency": round(eff, 3),
             "state_checksums_equal": r_n["checksum"] == r_xn["checksum"],
+            "strategy": args.strategy,
+            "compact_every": compact_every or None,
+            "state_equal_across_strategies": (
+                None if other_checksum is None else other_checksum == r_xn["checksum"]
+            ),
             "repeats": args.repeats,
             "cpu_pinned": bool(args.pin),
             "machine_parallel_ceiling": round(ceiling, 3),

@@ -103,6 +103,7 @@ class LakeTable:
         n_buckets: int = 64,
         if_not_exists: bool = False,
         properties: dict[str, Any] | None = None,
+        owner: str | None = None,
     ) -> "LakeTable":
         if self.exists():
             if if_not_exists:
@@ -110,6 +111,13 @@ class LakeTable:
             raise ValueError(f"lake table already exists at {self.path}")
         if key_col not in schema.fieldNames():
             raise ValueError(f"key column {key_col!r} not in schema")
+        if owner is None:
+            import getpass
+
+            try:
+                owner = getpass.getuser()
+            except (KeyError, OSError):
+                owner = "unknown"
         user_schema = T.StructType([f for f in schema.fields if f.name not in _SYSTEM_COLS])
         manifest = {
             "format_version": 1,
@@ -125,6 +133,10 @@ class LakeTable:
             "summary": {"total_rows": 0, "operation": "create"},
             "lineage": [],
             "properties": properties or {},
+            "owner": owner,
+            # informational grants surface (C6 tail): principal -> sorted ops.
+            # The owner starts with ALL; see grant()/revoke()/privileges().
+            "acl": {owner: ["ALL"]},
             "created_at": time.time(),
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -727,10 +739,66 @@ class LakeTable:
 
     # ------------------------------------------------------------ utilities
 
+    _VALID_OPS = ("ALL", "SELECT", "INSERT", "UPDATE", "DELETE")
+
+    def grant(self, principal: str, ops: list[str] | str) -> dict:
+        """Record privileges for ``principal`` (informational grants surface,
+        C6 tail — mirrors the reference's privileges introspection,
+        ``oracle_sde.py:784-799``, which likewise surfaces rather than
+        enforces: enforcement lives in the storage/catalog layer, not the
+        engine). The ACL change is a metadata-only commit: a new manifest
+        version with the same data, so grants are versioned and replay-safe
+        like every other table mutation."""
+        ops = [ops] if isinstance(ops, str) else list(ops)
+        bad = [o for o in ops if o.upper() not in self._VALID_OPS]
+        if bad:
+            raise ValueError(f"unknown ops {bad!r} (valid: {self._VALID_OPS})")
+        m = self.manifest()
+        acl = {k: list(v) for k, v in m.get("acl", {}).items()}
+        merged = set(acl.get(principal, [])) | {o.upper() for o in ops}
+        acl[principal] = sorted(merged if "ALL" not in merged else {"ALL"})
+        return self._publish_acl(m, acl, f"grant {ops} to {principal}")
+
+    def revoke(self, principal: str, ops: list[str] | str | None = None) -> dict:
+        """Remove privileges (all of them when ``ops`` is None). Revoking
+        from the owner is allowed but the ownership fact itself persists."""
+        m = self.manifest()
+        acl = {k: list(v) for k, v in m.get("acl", {}).items()}
+        if principal not in acl:
+            return {"operation": "alter-acl", "noop": True}
+        if ops is None:
+            del acl[principal]
+        else:
+            ops = [ops] if isinstance(ops, str) else list(ops)
+            remaining = set(acl[principal]) - {o.upper() for o in ops}
+            if remaining:
+                acl[principal] = sorted(remaining)
+            else:
+                del acl[principal]
+        return self._publish_acl(m, acl, f"revoke {ops or 'ALL'} from {principal}")
+
+    def _publish_acl(self, m: dict, acl: dict, note: str) -> dict:
+        new_m = dict(m)
+        new_m.update(
+            version=m["version"] + 1,
+            snapshot_id=uuid.uuid4().hex,
+            parent=m["snapshot_id"],
+            acl=acl,
+            summary={"operation": "alter-acl", "note": note,
+                     "total_rows": m["summary"].get("total_rows")},
+        )
+        self._publish(new_m)
+        return new_m["summary"]
+
+    def privileges(self) -> dict:
+        """{principal: [ops]} — the grants surface (informational)."""
+        return {k: list(v) for k, v in self.manifest().get("acl", {}).items()}
+
     def describe(self) -> dict:
         """Informational layout/stats surface (C6 analog: the reference
         exposes ``indexes``/``privileges``, ``oracle_sde.py:784-824``; here
-        the physical-design facts are the bucket layout and sort order)."""
+        the physical-design facts are the bucket layout and sort order, and
+        the access facts are owner + ACL)."""
         m = self.manifest()
         stats = m.get("bucket_stats") or {}
         return {
@@ -752,6 +820,8 @@ class LakeTable:
             "tombstones": sum(v["rows"] - v["live"] for v in stats.values()) if stats else None,
             "committed_epochs": len(m.get("committed_epochs", [])),
             "properties": m.get("properties", {}),
+            "owner": m.get("owner"),
+            "privileges": {k: list(v) for k, v in m.get("acl", {}).items()},
         }
 
     def checksum(self) -> int:

@@ -14,11 +14,14 @@ partitioned JDBC reads (one connection per partition — the only way a JDBC
 scan parallelizes), and ``fetchsize`` controls cursor batching (the analog
 of the reference's ``buffer_size``, ``oracle_sde.py:17``).
 
-No database (or JDBC driver jar) ships in this sandbox, so tests assert the
-compiled reader/writer options — exactly how the reference tests its
-statement builder against expected SQL strings rather than a live DB for
-unit coverage. ``from_jdbc``/``to_jdbc`` raise a clean, actionable error
-when the driver jar is absent.
+Test coverage is two-layer: statement-builder parity against expected SQL
+strings (``tests/test_jdbc.py`` — how the reference unit-tests its builders,
+``oracle_sde.py:1176-1218``) PLUS a LIVE write/read round-trip through
+embedded Apache Derby (``tests/test_jdbc_live.py``) — Derby ships inside the
+Spark distribution, so a real database exercises the pushdown subquery,
+append/overwrite modes, raw-SQL passthrough, and header lowercasing without
+any network. ``from_jdbc``/``to_jdbc`` raise a clean, actionable error when
+a driver jar is absent (tested with sqlite, which does NOT ship).
 """
 
 from __future__ import annotations
@@ -33,6 +36,10 @@ _DRIVERS = {
     "mysql": "com.mysql.cj.jdbc.Driver",
     "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
     "sqlite": "org.sqlite.JDBC",
+    # embedded Derby SHIPS with Spark (metastore dependency), so this is the
+    # one live-database path available offline — tests/test_jdbc_live.py runs
+    # a real write/read round-trip through it
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
@@ -71,7 +78,8 @@ def build_select(
     Oracle has no LIMIT: row capping uses ROWNUM, AND-joined into the single
     WHERE clause — deliberately FIXING the reference's bug of emitting a
     second ``WHERE`` when ``where=`` and ``limit=`` are combined
-    (``oracle_sde.py:1215`` vs ``:1218``).
+    (``oracle_sde.py:1215`` vs ``:1218``). Derby (the live-tested embedded
+    dialect) has no LIMIT either: it takes ANSI ``FETCH FIRST n ROWS ONLY``.
     """
     cols = ", ".join(_quote_ident(f) for f in fields) if fields else "*"
     clauses = [c for c in [where] if c]
@@ -81,7 +89,10 @@ def build_select(
     if clauses:
         stmt += " WHERE " + " AND ".join(f"({c})" for c in clauses)
     if limit is not None and subprotocol != "oracle":
-        stmt += f" LIMIT {int(limit)}"
+        if subprotocol == "derby":
+            stmt += f" FETCH FIRST {int(limit)} ROWS ONLY"
+        else:
+            stmt += f" LIMIT {int(limit)}"
     return stmt
 
 
