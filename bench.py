@@ -39,6 +39,7 @@ HEADLINE = [
     "tumbling_window_counts",
     "text_fingerprint",
     "text_lang_quality",
+    "bpe_encode_stats",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -56,6 +57,10 @@ HEADLINE = [
 def bench_queries(spark) -> dict[str, float]:
     qs = entry.queries()
     out: dict[str, float] = {}
+    # untimed Python-worker warmup: the first Arrow-batched query otherwise
+    # pays the one-time pyspark daemon/worker spawn (~1s) — steady-state
+    # throughput is the quantity under measurement, not process startup
+    spark.range(2).mapInPandas(lambda it: it, schema="id long").count()
     for name in HEADLINE:
         fn = qs[name]
         # warm the plan (analysis + file listing) outside the timed region,
