@@ -421,6 +421,24 @@ def _q_doc_token_chunks(spark, sf):
     )
 
 
+def _q_pack_sequences(spark, sf):
+    """Training-batch layout: concat-and-chunk sequence packing per split
+    shard (budget 2048 whitespace tokens). Each doc's pack id + offset is a
+    pure function of (shard, order, token counts) — cross-engine exact."""
+    from geopetl_spark.operators.sample import pack_sequences
+
+    d = split_by_hash(_t(spark, sf, "documents"), "doc_id")
+    d = d.withColumn("n_tok", TXT.token_count(F.col("text")).cast("long"))
+    packed = pack_sequences(d, tokens_col="n_tok", order_col="doc_id", shard_col="split", budget=2048)
+    return packed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "split",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "pack_id",
+        "pack_offset",
+    )
+
+
 def _q_split_assignment(spark, sf):
     # deterministic 90/5/5 train/valid/test split (hash-bucket ranges)
     d = split_by_hash(_t(spark, sf, "documents"), "doc_id")
@@ -465,6 +483,29 @@ def _q_dedup_minhash_lsh(spark, sf):
         F.col("id_b").cast("long").alias("id_b"),
         "jaccard",
     )
+
+
+def _q_dedup_components(spark, sf):
+    """Transitive duplicate clustering: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation, operators/components.py)
+    -> per-doc component id + cluster size. The query unpersists the
+    materialized labels before returning, so the driver's collect re-runs
+    the (deterministic) loop plan — correct either way, leak-free in the
+    gate's long-lived session."""
+    from geopetl_spark.operators.components import component_stats, dup_components
+
+    pairs = DD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.8, n=3, bands=4, rows_per_band=4)
+    comps = dup_components(pairs)
+    out = (
+        comps.join(component_stats(comps), "component_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("component_id").cast("long").alias("component_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+    comps.unpersist(False)
+    return out
 
 
 def _q_dedup_simhash(spark, sf):
@@ -616,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_near_dup": _q_embed_near_dup,
@@ -626,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_redact": _q_text_normalize_redact,
         "doc_token_chunks": _q_doc_token_chunks,
         "split_assignment": _q_split_assignment,
+        "pack_sequences": _q_pack_sequences,
         "corpus_clean_stats": _q_corpus_clean_stats,
     }
 
@@ -944,6 +987,33 @@ def oracle_sql() -> dict[str, str]:
             from CAND c join JAC j on j.id_a = c.id_a and j.id_b = c.id_b
             where j.jaccard >= 0.8
         """,
+        # transitive closure of the MinHash-LSH pair graph via a recursive
+        # CTE: R accumulates every label reachable from each node; min per
+        # node == the component's minimum id — exactly the fixpoint the
+        # Spark min-label propagation converges to.
+        "dedup_components": f"""
+            with recursive {_SHINGLES_CTE},
+            HX as (select doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT % 2147483647 as x from EX),
+            SIG as (select doc_id, {_MINHASH_SIG_SQL} from HX group by doc_id),
+            BANDS as ({_BAND_SQL}),
+            CAND as (select distinct a.doc_id id_a, b.doc_id id_b
+                     from BANDS a join BANDS b on a.band_key = b.band_key and a.doc_id < b.doc_id),
+            P as (select c.id_a, c.id_b from CAND c
+                  join JAC j on j.id_a = c.id_a and j.id_b = c.id_b
+                  where j.jaccard >= 0.8),
+            E as (select id_a a, id_b b from P union select id_b, id_a from P),
+            N as (select distinct a node from E),
+            R(node, comp) as (
+              select node, node from N
+              union
+              select e.a, r.comp from E e join R r on r.node = e.b
+            ),
+            L as (select node, min(comp) comp from R group by node),
+            S as (select comp, count(*) n from L group by comp)
+            select l.node::BIGINT as doc_id, l.comp::BIGINT as component_id,
+                   s.n::BIGINT as n_members
+            from L l join S s on s.comp = l.comp
+        """,
         "dedup_simhash": f"""
             with {_SIMHASH_CTE}
             select a.doc_id id_a, b.doc_id id_b,
@@ -1069,6 +1139,25 @@ def oracle_sql() -> dict[str, str]:
                         else 'test' end as split,
                    count(*) as n_docs, sum(n_chars)::BIGINT as total_chars
             from B group by 1
+        """,
+        "pack_sequences": r"""
+            with B as (select doc_id, text,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 10000 b
+              from documents),
+            T as (select doc_id,
+                   case when b < 9000 then 'train' when b < 9500 then 'valid'
+                        else 'test' end as split,
+                   (case when len(trim(text)) = 0 then 0
+                         else len(string_split_regex(trim(text), '\s+')) end)::BIGINT nt
+                  from B),
+            C as (select doc_id, split, nt,
+                   coalesce(sum(nt) over (partition by split order by doc_id
+                     rows between unbounded preceding and 1 preceding), 0) prev
+                  from T)
+            select doc_id, split, nt as n_tok,
+                   (prev // 2048)::BIGINT as pack_id,
+                   (prev % 2048)::BIGINT as pack_offset
+            from C
         """,
         "corpus_clean_stats": f"""
             with hits as (select doc_id, text, n_chars, {', '.join(stopword_cases)} from documents),

@@ -149,21 +149,44 @@ def lsh_bucketed_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "gemm",
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
     The bucket equi-join replaces the cross join — at scale, corpus rows are
-    hash-partitioned by bucket and only same-bucket pairs are scored."""
-    qb = with_unit_vector(lsh_bucket(queries, n_bits, dim, id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv"), "bucket"
-    )
-    cb = with_unit_vector(lsh_bucket(corpus, n_bits, dim, id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv"), "bucket"
-    )
-    scored = (
-        cb.join(F.broadcast(qb), ["bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(dot(F.col("_qv"), F.col("_cv")), 6).alias("similarity"))
-    )
+    hash-partitioned by bucket and only same-bucket pairs are scored.
+
+    ``method='gemm'`` (default): buckets + unit vectors in one Arrow-batched
+    numpy pass per side, pair scoring via the sequential-scan kernel —
+    bit-identical to the fold (hyperplane table 0 of
+    :func:`_multi_table_keyed` IS :func:`lsh_bucket`'s hyperplane set).
+    ``method='fold'``: pure-expression variant, same results."""
+    if method == "gemm":
+        qb = _multi_table_keyed(queries, n_bits, 1, id_col, vec_col).select(
+            F.col("_id").alias("query_id"),
+            F.col("_unit").alias("_qv"),
+            F.element_at("_keys", 1).alias("bucket"),
+        )
+        cb = _multi_table_keyed(corpus, n_bits, 1, id_col, vec_col).select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_unit").alias("_cv"),
+            F.element_at("_keys", 1).alias("bucket"),
+        )
+        pairs = cb.join(F.broadcast(qb), ["bucket"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = _np_pair_scored(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
+    else:
+        qb = with_unit_vector(lsh_bucket(queries, n_bits, dim, id_col, vec_col), vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv"), "bucket"
+        )
+        cb = with_unit_vector(lsh_bucket(corpus, n_bits, dim, id_col, vec_col), vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv"), "bucket"
+        )
+        scored = (
+            cb.join(F.broadcast(qb), ["bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", F.round(dot(F.col("_qv"), F.col("_cv")), 6).alias("similarity"))
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -21,12 +21,12 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import word_hash
 
-__all__ = ["hash_bucket", "split_by_hash", "deterministic_sample"]
+__all__ = ["hash_bucket", "split_by_hash", "deterministic_sample", "pack_sequences"]
 
 N_BUCKETS = 10_000
 
@@ -62,6 +62,44 @@ def split_by_hash(
         expr = F.when((b >= F.lit(lo)) & (b < F.lit(hi)), F.lit(name)).otherwise(expr)
         hi = lo
     return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+    budget: int = 2048,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style training layout):
+    documents are laid end-to-end in ``order_col`` order and cut into
+    fixed-``budget`` token packs; each doc gets the pack its FIRST token
+    lands in (``pack_id``) and its offset within that pack — a doc whose
+    tokens cross the boundary spans into the next pack(s), exactly as the
+    training loader would consume it.
+
+    Scale shape: packing is inherently sequential WITHIN an ordering, so
+    the parallel unit is the shard — pass ``shard_col`` (a split, a hash
+    bucket, a date partition) and each shard packs independently in one
+    windowed cumulative sum (one shuffle, partitioned by shard). A global
+    single-shard pack (``shard_col=None``) is supported but runs the window
+    in ONE partition — fine for a tail job, wrong for the full corpus; at
+    100 TB always shard. Deterministic: a pure function of (order, token
+    counts) — reproducible cross-engine (ANSI windowed SUM)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    part = [F.col(shard_col)] if shard_col else [F.lit(0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0).cast("long"))
+    return df.withColumn(pack_col, F.floor(prev / F.lit(budget)).cast("long")).withColumn(
+        offset_col, (prev % F.lit(budget)).cast("long")
+    )
 
 
 def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:

@@ -1,0 +1,59 @@
+"""Connected components over dup-pair graphs: transitive chains, multiple
+components, determinism, convergence guard, and the storage-lifetime
+contract (no persisted RDDs after release)."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")
+from geopetl_spark.operators.components import component_stats, dup_components  # noqa: E402
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_transitive_chain_is_one_component(spark):
+    # 1-2, 2-3, 3-4 never emits 1-4 as a pair, but all four are one cluster
+    comps = dup_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)]))
+    got = {r.doc_id: r.component_id for r in comps.collect()}
+    comps.unpersist(False)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # a 12-hop path needs multiple propagation rounds
+    comps = dup_components(_pairs(spark, [(i, i + 1) for i in range(12)]))
+    got = {r.doc_id: r.component_id for r in comps.collect()}
+    comps.unpersist(False)
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_component_stats_canonical_and_size(spark):
+    comps = dup_components(_pairs(spark, [(5, 3), (3, 9), (20, 21)]))
+    stats = {r.component_id: (r.n_members, r.canonical_doc_id) for r in component_stats(comps).collect()}
+    comps.unpersist(False)
+    assert stats == {3: (3, 3), 20: (2, 20)}
+
+
+def test_deterministic_under_pair_order(spark):
+    a = dup_components(_pairs(spark, [(1, 2), (2, 3)]))
+    b = dup_components(_pairs(spark, [(2, 3), (1, 2)]))
+    ra = sorted((r.doc_id, r.component_id) for r in a.collect())
+    rb = sorted((r.doc_id, r.component_id) for r in b.collect())
+    a.unpersist(False)
+    b.unpersist(False)
+    assert ra == rb
+
+
+def test_max_iter_guard_raises_not_partial(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_components(_pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=2)
+
+
+def test_storage_released_after_unpersist(spark):
+    comps = dup_components(_pairs(spark, [(1, 2), (2, 3)]))
+    comps.count()
+    comps.unpersist(False)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -66,3 +66,34 @@ def test_chunk_array_semantics(spark):
         chunk_array(F.col("toks"), size=0)
     with pytest.raises(ValueError):
         chunk_array(F.col("toks"), size=4, overlap=4)
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    from geopetl_spark.operators.sample import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a", 1000), (2, "a", 1500), (3, "a", 100), (4, "b", 3000)],
+        "doc_id long, shard string, n_tok long",
+    )
+    out = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, "n_tok", shard_col="shard", budget=2048).collect()
+    }
+    # shard a: doc1 starts at 0 (pack 0), doc2 at 1000 (pack 0, crosses into
+    # pack 1), doc3 at 2500 (pack 1, offset 452)
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 1000)
+    assert out[3] == (1, 2500 - 2048)
+    # shard b packs independently from offset 0
+    assert out[4] == (0, 0)
+
+
+def test_pack_sequences_global_and_validation(spark):
+    from geopetl_spark.operators.sample import pack_sequences
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 5), (2, 5)], "doc_id long, n_tok long")
+    out = {r.doc_id: r.pack_id for r in pack_sequences(df, "n_tok", budget=8).collect()}
+    assert out == {1: 0, 2: 0}
+    with _pt.raises(ValueError):
+        pack_sequences(df, "n_tok", budget=0)

@@ -92,6 +92,16 @@ def test_cosine_topk_gemm_matches_fold_bit_for_bit(spark, emb):
     )
 
 
+def test_lsh_topk_gemm_matches_fold_bit_for_bit(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    key = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.similarity, r.rank) for r in df.collect()
+    )
+    assert key(ANN.lsh_bucketed_topk(q, emb, k=5, method="gemm")) == key(
+        ANN.lsh_bucketed_topk(q, emb, k=5, method="fold")
+    )
+
+
 def test_ivf_gemm_matches_fold_bit_for_bit(spark, emb):
     """The numpy scan (cumsum = sequential IEEE adds) must reproduce the
     Spark expression fold EXACTLY — same sims, same ranks, same ties."""
