@@ -508,6 +508,31 @@ def _q_dedup_components(spark, sf):
     return out
 
 
+def _q_corpus_near_dedup_stats(spark, sf):
+    """The composed NEAR-dup removal flow (the fuzzy sibling of
+    corpus_clean_stats' exact dedup): MinHash-LSH pairs -> connected
+    components -> drop every non-canonical cluster member -> per-source
+    survivor accounting. Exercises pair-gen + graph clustering + anti-join
+    composition in one plan chain."""
+    from geopetl_spark.operators.components import component_stats, dup_components
+
+    d = _t(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(d, threshold=0.8, n=3, bands=4, rows_per_band=4)
+    comps = dup_components(pairs)
+    drop = (
+        comps.join(component_stats(comps), "component_id")
+        .filter(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    kept = d.withColumn("doc_id", F.col("doc_id").cast("long")).join(drop, "doc_id", "left_anti")
+    out = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    comps.unpersist(False)
+    return out
+
+
 def _q_dedup_simhash(spark, sf):
     return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3).select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -658,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_components": _q_dedup_components,
+        "corpus_near_dedup_stats": _q_corpus_near_dedup_stats,
         "dedup_simhash": _q_dedup_simhash,
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_near_dup": _q_embed_near_dup,
@@ -1013,6 +1039,30 @@ def oracle_sql() -> dict[str, str]:
             select l.node::BIGINT as doc_id, l.comp::BIGINT as component_id,
                    s.n::BIGINT as n_members
             from L l join S s on s.comp = l.comp
+        """,
+        "corpus_near_dedup_stats": f"""
+            with recursive {_SHINGLES_CTE},
+            HX as (select doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT % 2147483647 as x from EX),
+            SIG as (select doc_id, {_MINHASH_SIG_SQL} from HX group by doc_id),
+            BANDS as ({_BAND_SQL}),
+            CAND as (select distinct a.doc_id id_a, b.doc_id id_b
+                     from BANDS a join BANDS b on a.band_key = b.band_key and a.doc_id < b.doc_id),
+            P as (select c.id_a, c.id_b from CAND c
+                  join JAC j on j.id_a = c.id_a and j.id_b = c.id_b
+                  where j.jaccard >= 0.8),
+            E as (select id_a a, id_b b from P union select id_b, id_a from P),
+            N as (select distinct a node from E),
+            R(node, comp) as (
+              select node, node from N
+              union
+              select e.a, r.comp from E e join R r on r.node = e.b
+            ),
+            L as (select node, min(comp) comp from R group by node),
+            DROPPED as (select node from L where node != comp)
+            select d.source, count(*) as n_docs, sum(d.n_chars)::BIGINT as total_chars
+            from documents d
+            where d.doc_id not in (select node from DROPPED)
+            group by d.source
         """,
         "dedup_simhash": f"""
             with {_SIMHASH_CTE}

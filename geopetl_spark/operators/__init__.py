@@ -8,9 +8,10 @@ from .ann import (
     lsh_bucket,
     lsh_bucketed_topk,
 )
+from .components import component_stats, dup_components
 from .dedup_cdc import dedup_exact_events, latest_per_key, latest_per_key_window
 from .range_join import range_join
-from .sample import deterministic_sample, hash_bucket, split_by_hash
+from .sample import deterministic_sample, hash_bucket, pack_sequences, split_by_hash
 from .dedup_text import (
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -22,7 +23,8 @@ from .dedup_text import (
 __all__ = [
     "asof_join",
     "range_join",
-    "deterministic_sample", "hash_bucket", "split_by_hash",
+    "deterministic_sample", "hash_bucket", "pack_sequences", "split_by_hash",
+    "component_stats", "dup_components",
     "cosine_topk", "embedding_near_dup_pairs", "lsh_bucket", "lsh_bucketed_topk",
     "ivf_assign", "ivf_centroid_array", "ivf_topk",
     "dedup_exact_events", "latest_per_key", "latest_per_key_window",
