@@ -488,10 +488,10 @@ def _q_dedup_minhash_lsh(spark, sf):
 def _q_dedup_components(spark, sf):
     """Transitive duplicate clustering: MinHash-LSH pairs -> connected
     components (iterative min-label propagation, operators/components.py)
-    -> per-doc component id + cluster size. The query unpersists the
-    materialized labels before returning, so the driver's collect re-runs
-    the (deterministic) loop plan — correct either way, leak-free in the
-    gate's long-lived session."""
+    -> per-doc component id + cluster size. The materialized label table
+    (cluster members only — tiny) stays cached so the driver's collect
+    reads it instead of replaying the iterative chain through the RDD
+    lineage; long-lived callers release it with result.unpersist()."""
     from geopetl_spark.operators.components import component_stats, dup_components
 
     pairs = DD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.8, n=3, bands=4, rows_per_band=4)
@@ -504,7 +504,6 @@ def _q_dedup_components(spark, sf):
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
-    comps.unpersist(False)
     return out
 
 
@@ -525,12 +524,10 @@ def _q_corpus_near_dedup_stats(spark, sf):
         .select(F.col("doc_id").cast("long").alias("doc_id"))
     )
     kept = d.withColumn("doc_id", F.col("doc_id").cast("long")).join(drop, "doc_id", "left_anti")
-    out = kept.groupBy("source").agg(
+    return kept.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    comps.unpersist(False)
-    return out
 
 
 def _q_dedup_simhash(spark, sf):

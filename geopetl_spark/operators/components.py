@@ -36,6 +36,9 @@ two-phase large-star/small-star variant (Kiveris et al., "Connected
 Components in MapReduce and Beyond") converges in O(log n) rounds with the
 same join primitive — the ``max_iter`` guard raises before silently
 returning partial labels, which is where that upgrade would slot in.
+Wall-clock on SMALL inputs is dominated by per-round fixed job cost
+(scheduling + tiny shuffles), a constant that amortizes completely at real
+graph sizes; AQE coalesces the tiny exchanges at runtime.
 
 Reference parity: geopetl has no graph surface; this fills the dedup
 pipeline gap alongside operators/dedup_text.py (SURVEY §2.7 extension).
