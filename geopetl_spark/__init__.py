@@ -38,8 +38,12 @@ from .operators.dedup_text import (
     simhash,
     simhash_pairs,
 )
-from .operators.ann import cosine_topk, embedding_near_dup_pairs, lsh_bucketed_topk
+from .operators.ann import cosine_topk, embedding_near_dup_pairs, ivf_topk, lsh_bucketed_topk
 from .operators.asof import asof_join
+from .operators.components import component_stats, dup_components
+from .operators.range_join import range_join
+from .operators.sample import deterministic_sample, pack_sequences, split_by_hash
+from .functions.bpe import bpe_encode, train_bpe_merges
 from .functions.sql_registry import register_sql_functions
 from . import catalog
 from .transforms import (
