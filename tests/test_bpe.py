@@ -54,6 +54,91 @@ def test_shipped_merges_roundtrip_and_encode(spark):
     assert out == out2
 
 
+def _naive_train(word_counts, n_merges, min_pair_count=2):
+    """The textbook full-rescan merge loop — the reference the incremental
+    trainer must reproduce exactly (same counts, same tie-breaks)."""
+    words = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        best, bc = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if bc < min_pair_count:
+            break
+        merges.append(best)
+        words = {w: bpe._merge_pass(s, *best) for w, s in words.items()}
+    return merges
+
+
+def test_incremental_trainer_matches_full_rescan(spark):
+    rows = [
+        ("the quick brown fox jumps over the lazy dog the fox",),
+        ("pack my box with five dozen liquor jugs the box",),
+        ("how vexingly quick daft zebras jump the quick",),
+        ("sphinx of black quartz judge my vow the sphinx",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got, _ = bpe.train_bpe_merges(df, n_merges=40, min_count=1, max_vocab=None)
+    wc = {}
+    for (t,) in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    assert got == _naive_train(wc, 40)
+
+
+def test_max_vocab_cap_bounds_driver_vocabulary(spark):
+    # heavy tail: 2 hot words + 300 rare (count-2) words; the top-K cap must
+    # keep only the hot words, so rare-word characters never reach training
+    hot = " ".join(["alpha beta"] * 50)
+    rare = " ".join(f"xq{i}z xq{i}z" for i in range(300))
+    df = spark.createDataFrame([(hot,), (rare,)], "text string")
+    merges, alphabet = bpe.train_bpe_merges(df, n_merges=10, max_vocab=2)
+    assert set(alphabet) == set("alphbet")  # chars of 'alpha'/'beta' only
+    assert all(set(a + b) <= set("alphbet") for a, b in merges)
+    # rare-only characters encode as <unk> under the capped table
+    ids = {s: i for i, s in enumerate(bpe.build_vocab(merges, alphabet))}
+    assert bpe.encode_word("xq9z", merges, ids) == [0, 0, 0, 0]
+
+
+def _seq_encode(word, merges, ids):
+    """Sequential rank-order scan — the contract semantics the
+    pair-priority encode must reproduce on trainer-produced tables."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = bpe._merge_pass(syms, a, b)
+    return [ids.get(s, 0) for s in syms]
+
+
+def test_priority_encode_equals_rank_scan_shipped_and_5k(spark):
+    import hashlib
+
+    # shipped 48-merge table
+    merges, alphabet = bpe.load_merges()
+    ids = {s: i for i, s in enumerate(bpe.build_vocab(merges, alphabet))}
+    for w in ["water", "the", "incomprehensibilities", "zzzz", "a"]:
+        assert bpe.encode_word(w, merges, ids) == _seq_encode(w, merges, ids)
+
+    # synthetic large table: 3000 distinct hex words x2 -> thousands of merges
+    words = [hashlib.md5(str(i).encode()).hexdigest()[:12] for i in range(3000)]
+    df = spark.createDataFrame([(" ".join(words + words),)], "text string")
+    big_merges, big_alpha = bpe.train_bpe_merges(df, n_merges=5000, min_count=1)
+    assert len(big_merges) >= 1000
+    big_ids = {s: i for i, s in enumerate(bpe.build_vocab(big_merges, big_alpha))}
+    ranks = {p: i for i, p in enumerate(big_merges)}
+    for w in words[::97] + ["deadbeef00", "0123456789ab"]:
+        assert bpe.encode_word(w, big_merges, big_ids, ranks) == _seq_encode(
+            w, big_merges, big_ids
+        )
+
+
 def test_corpus_has_no_delimiter_chars(spark, sf_dir):
     """The oracle's '|'-delimited symbol encoding requires no '|' in any
     document (documented precondition in __spark_entry__._bpe_oracle_sql)."""
