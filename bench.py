@@ -47,6 +47,7 @@ HEADLINE = [
     "embed_near_dup",
     "embed_lsh_ann",
     "embed_ivf_ann",
+    "embed_ivf_ann_warm",
     "vocab_top_terms",
     "tfidf_top_terms",
     "range_value_bands",

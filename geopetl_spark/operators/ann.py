@@ -39,11 +39,15 @@ def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "_unit") -> Dat
 def _np_units(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
     """(id, unit-vector) via one Arrow-batched numpy pass — bit-identical to
     :func:`with_unit_vector`'s sequential fold (see :func:`_np_unit`), ~100×
-    cheaper than the interpreted higher-order-function evaluation."""
+    cheaper than the interpreted higher-order-function evaluation. The id
+    column keeps its INPUT type (string/UUID ids work, not just integers)."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
-        [T.StructField(out_id, T.LongType()), T.StructField(out_vec, T.ArrayType(T.DoubleType()))]
+        [
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField(out_vec, T.ArrayType(T.DoubleType())),
+        ]
     )
 
     def go(batches):
@@ -54,14 +58,16 @@ def _np_units(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: st
             if len(pdf) == 0:
                 continue
             v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            yield pd.DataFrame({out_id: pdf[id_col].astype("int64"), out_vec: list(_np_unit(v))})
+            yield pd.DataFrame({out_id: pdf[id_col], out_vec: list(_np_unit(v))})
 
     return df.mapInPandas(go, schema=out_schema)
 
 
 def _np_pair_scored(pairs: DataFrame, a_vec: str, b_vec: str, keep: list[str]) -> DataFrame:
     """Exact sequential-fold cosine for joined (unit_a, unit_b) pairs, as a
-    vectorized numpy scan. Emits ``keep`` + rounded ``similarity``."""
+    vectorized numpy scan. Emits ``keep`` (input types preserved) + rounded
+    ``similarity``."""
+    from pyspark.sql import types as T
 
     def go(batches):
         import numpy as np
@@ -76,7 +82,10 @@ def _np_pair_scored(pairs: DataFrame, a_vec: str, b_vec: str, keep: list[str]) -
             out["_sim"] = _np_seq_dot(va, vb)
             yield pd.DataFrame(out)
 
-    schema = ", ".join(f"{c} long" for c in keep) + ", _sim double"
+    schema = T.StructType(
+        [T.StructField(c, pairs.schema[c].dataType) for c in keep]
+        + [T.StructField("_sim", T.DoubleType())]
+    )
     return pairs.mapInPandas(go, schema=schema).select(
         *keep, F.round(F.col("_sim"), 6).alias("similarity")
     )
@@ -161,12 +170,12 @@ def lsh_bucketed_topk(
     :func:`_multi_table_keyed` IS :func:`lsh_bucket`'s hyperplane set).
     ``method='fold'``: pure-expression variant, same results."""
     if method == "gemm":
-        qb = _multi_table_keyed(queries, n_bits, 1, id_col, vec_col).select(
+        qb = _multi_table_keyed(queries, n_bits, 1, id_col, vec_col, dim=dim).select(
             F.col("_id").alias("query_id"),
             F.col("_unit").alias("_qv"),
             F.element_at("_keys", 1).alias("bucket"),
         )
-        cb = _multi_table_keyed(corpus, n_bits, 1, id_col, vec_col).select(
+        cb = _multi_table_keyed(corpus, n_bits, 1, id_col, vec_col, dim=dim).select(
             F.col("_id").alias("neighbor_id"),
             F.col("_unit").alias("_cv"),
             F.element_at("_keys", 1).alias("bucket"),
@@ -201,6 +210,7 @@ def _multi_table_keyed(
     n_tables: int,
     id_col: str,
     vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """One Arrow-batched pass over the corpus emitting, per row, the
     L2-normalized vector plus ``n_tables`` LSH bucket keys ('t:bucket').
@@ -211,16 +221,21 @@ def _multi_table_keyed(
     in the SQL oracle. Buckets hash the RAW (double-cast) vector — the same
     convention as :func:`lsh_bucket` — and all dots are sequential IEEE
     scans (:func:`_np_seq_dot`), bit-identical to the Spark expression fold.
-    """
+
+    ``dim`` (optional) pins the hyperplane width like :func:`lsh_bucket`'s
+    parameter: with ``dim < len(vector)`` only the first ``dim`` components
+    enter the bucket dot (the zip_with truncation semantics of the fold
+    path); ``dim > len(vector)`` raises (the fold would yield nulls).
+    Default: the vectors' own width. The id column keeps its input type."""
     import numpy as np
     from pyspark.sql import types as T
 
-    def _planes(dim: int):
+    def _planes(width: int):
         # hyperplane weights are a pure function of (j, d): any executor (and
-        # the SQL oracle) regenerates the identical family for its dim
+        # the SQL oracle) regenerates the identical family for its width
         return np.array(
             [
-                [float((1103515245 * (d + 31 * j) + 12345) % 2001 - 1000) for d in range(dim)]
+                [float((1103515245 * (d + 31 * j) + 12345) % 2001 - 1000) for d in range(width)]
                 for j in range(n_bits * n_tables)
             ],
             dtype=np.float64,
@@ -228,7 +243,7 @@ def _multi_table_keyed(
 
     out_schema = T.StructType(
         [
-            T.StructField("_id", T.LongType()),
+            T.StructField("_id", df.schema[id_col].dataType),
             T.StructField("_unit", T.ArrayType(T.DoubleType())),
             T.StructField("_keys", T.ArrayType(T.StringType())),
         ]
@@ -242,12 +257,17 @@ def _multi_table_keyed(
             if len(pdf) == 0:
                 continue
             v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            if dim is not None and dim > v.shape[1]:
+                raise ValueError(
+                    f"dim={dim} exceeds vector length {v.shape[1]} for LSH bucketing"
+                )
+            vb = v if dim is None else v[:, :dim]
             if W is None:
-                W = _planes(v.shape[1])
+                W = _planes(vb.shape[1])
             u = _np_unit(v)
             signs = np.empty((len(pdf), n_bits * n_tables), dtype=bool)
             for j in range(n_bits * n_tables):
-                signs[:, j] = _np_seq_dot(v, W[j][None, :]) > 0
+                signs[:, j] = _np_seq_dot(vb, W[j][None, :]) > 0
             keys = []
             for t in range(n_tables):
                 b = (signs[:, t * n_bits : (t + 1) * n_bits] * (1 << np.arange(n_bits))).sum(axis=1)
@@ -255,13 +275,57 @@ def _multi_table_keyed(
             kmat = np.stack(keys, axis=1)
             yield pd.DataFrame(
                 {
-                    "_id": pdf[id_col].astype("int64"),
+                    "_id": pdf[id_col],
                     "_unit": list(u),
                     "_keys": list(kmat),
                 }
             )
 
     return df.mapInPandas(keyer, schema=out_schema)
+
+
+def lsh_config_for(
+    threshold: float,
+    recall_target: float = 0.9,
+    n_bits: int = 4,
+    max_tables: int = 64,
+) -> tuple[int, int, float]:
+    """Size the multi-table hyperplane index for a cosine threshold.
+
+    Model: a hyperplane separates two vectors at angle θ with probability
+    θ/π, so a pair at exactly ``threshold`` collides in one ``n_bits``-bit
+    table with p = (1 - arccos(threshold)/π)^n_bits and is FOUND by at
+    least one of T tables with recall = 1 - (1-p)^T. Solving for the
+    smallest T meeting ``recall_target`` gives the config; pairs ABOVE the
+    threshold collide more often, so the model is a lower bound across the
+    qualifying range. Returns ``(n_bits, n_tables, modeled_recall)`` and
+    warns if ``max_tables`` caps recall below the target (candidate volume
+    grows linearly in T — the cap is the cost guard)."""
+    import math
+    import warnings
+
+    if not -1.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (-1, 1)")
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError("recall_target must be in (0, 1)")
+    p_table = (1.0 - math.acos(threshold) / math.pi) ** n_bits
+    if p_table <= 0.0:
+        need = max_tables + 1
+    elif p_table >= 1.0:
+        need = 1
+    else:
+        need = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_table))
+    n_tables = max(1, min(need, max_tables))
+    recall = 1.0 - (1.0 - p_table) ** n_tables
+    if need > max_tables:
+        warnings.warn(
+            f"LSH recall target {recall_target} at threshold {threshold} needs "
+            f"{need} tables; capped at {max_tables} (modeled recall {recall:.3f}). "
+            f"Raise max_tables, lower n_bits, or use method='blocked' for an "
+            f"exact audit.",
+            stacklevel=2,
+        )
+    return n_bits, n_tables, recall
 
 
 def embedding_near_dup_pairs(
@@ -271,8 +335,9 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     method: str = "lsh",
     n_blocks: int = 8,
-    n_bits: int = 4,
-    n_tables: int = 4,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
@@ -290,12 +355,15 @@ def embedding_near_dup_pairs(
        bit-identical to the expression fold), rounded to 6dp, thresholded.
 
     Recall < 1 by construction (a true pair colliding in no table is
-    missed); it rises with ``n_tables`` and falls with ``n_bits``. Collision
-    probability per table is (1 - θ/π)^n_bits, so recall is high in the
-    real near-dup regime (θ small: sim ≥ 0.9 → ~0.99 at 4×4) and degrades
-    toward random-pair thresholds — measured per corpus in
-    ``BENCH/BASELINE.md``. Exactness of emitted VALUES is unconditional:
-    only membership is approximate.
+    missed). By DEFAULT the index is SIZED FROM THE THRESHOLD: leaving
+    ``n_bits``/``n_tables`` unset invokes :func:`lsh_config_for`, which
+    solves the (1 - θ/π)^n_bits collision model for the smallest table
+    count whose modeled recall meets ``recall_target`` (0.9), and warns
+    when the 64-table cost cap forces lower — so an aggressive (low)
+    threshold buys more tables instead of silently dropping pairs.
+    Measured recall per config is tabulated in ``BENCH/BASELINE.md``.
+    Exactness of emitted VALUES is unconditional: only membership is
+    approximate; pin both knobs explicitly to freeze a config.
 
     ``method='blocked'``: exact all-pairs for small corpora / recall audits,
     fully-distributed (no driver materialization, no corpus broadcast) —
@@ -319,6 +387,10 @@ def embedding_near_dup_pairs(
     all) — the conservative fallback.
     """
     if method == "lsh":
+        if n_bits is None:
+            n_bits = 4
+        if n_tables is None:
+            _, n_tables, _ = lsh_config_for(threshold, recall_target, n_bits)
         keyed = _multi_table_keyed(df, n_bits, n_tables, id_col, vec_col)
         kx = keyed.select("_id", F.explode("_keys").alias("_tb"))
         ka, kb = kx.alias("ka"), kx.alias("kb")
@@ -348,6 +420,18 @@ def embedding_near_dup_pairs(
         )
 
     import numpy as np
+    from pyspark.sql import types as T
+
+    # the blocked GEMM kernel runs ids through int64 numpy arrays — loud
+    # precondition instead of mangled UUIDs (lsh/fold preserve any id type)
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"method='blocked' requires an integer id column; {id_col} is "
+            f"{df.schema[id_col].dataType.simpleString()} (use method='lsh' or 'fold')"
+        )
 
     spark = df.sparkSession
     margin = 1e-6
@@ -408,22 +492,31 @@ def embedding_near_dup_pairs(
 def ivf_centroid_array(
     corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """One-row DataFrame holding the centroid table as a sorted
-    ``array<struct<cid, u>>`` of unit vectors.
+    """One-row LITERAL DataFrame holding the centroid table as a sorted
+    ``array<struct<cid, u>>`` of unit vectors — the build-once artifact of
+    the IVF index (eager: runs one TakeOrdered job of ``n_centroids`` rows).
 
     Centroid choice is deliberately *training-free and deterministic* — the
     ``n_centroids`` corpus rows with the smallest ids (a seeded-sample
     stand-in, cross-engine reproducible). At scale you'd swap in offline
     k-means centroids; :func:`ivf_assign`/:func:`ivf_topk` below are
-    agnostic to where the centroid rows came from."""
-    cen = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("_cv")
+    agnostic to where the centroid rows came from. Normalization happens
+    driver-side over the k collected rows with the cumsum scan
+    (:func:`_np_unit`) — bit-identical to the Spark expression fold, so the
+    literal is byte-compatible with the previous in-plan construction."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("_cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
     )
-    cen = with_unit_vector(cen, "_cv", "_cu")
-    return cen.agg(
-        F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("_cu").alias("u")))).alias(
-            "_centroids"
-        )
+    mat = np.array([np.asarray(r["_cv"], dtype=np.float64) for r in rows])
+    units = _np_unit(mat) if len(rows) else mat
+    lit = [(int(r["cid"]), [float(x) for x in u]) for r, u in zip(rows, units)]
+    return corpus.sparkSession.createDataFrame(
+        [(lit,)], "_centroids array<struct<cid:bigint,u:array<double>>>"
     )
 
 
@@ -546,6 +639,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "gemm",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score a query only against the inverted lists
     of its ``nprobe`` nearest centroids.
@@ -555,16 +650,22 @@ def ivf_topk(
     Recall < 1 by construction, rising with ``nprobe``; candidates scored
     per query ≈ corpus · nprobe / n_centroids. ``method='gemm'`` runs the
     candidate scoring as a vectorized numpy scan (bit-identical to the fold —
-    see :func:`ivf_assign`); ``method='fold'`` stays pure-expression."""
-    # materialize the (tiny) centroid table ONCE and re-inject it as a
-    # literal: the centroid subtree would otherwise re-run its corpus
-    # TakeOrdered for every consumer (assign collect + query broadcast)
-    cen_rows = ivf_centroid_array(corpus, n_centroids, id_col, vec_col).collect()[0]["_centroids"]
-    cen = corpus.sparkSession.createDataFrame(
-        [([(int(r["cid"]), list(r["u"])) for r in cen_rows],)],
-        "_centroids array<struct<cid:bigint,u:array<double>>>",
-    )
-    c = ivf_assign(corpus, cen, id_col, vec_col, method=method).select(
+    see :func:`ivf_assign`); ``method='fold'`` stays pure-expression.
+
+    The centroid table and the assigned corpus ARE the IVF index — build
+    them once, search many times (real IVF never re-partitions the corpus
+    per query). Pass ``centroids`` (a :func:`ivf_centroid_array`-shaped
+    one-row frame; ``n_centroids`` is then ignored) to skip the centroid
+    build, and ``assigned`` (the output of :func:`ivf_assign` on the same
+    corpus + centroids, typically persisted or written to the lake) to skip
+    the assignment pass too — the call then runs ONLY the probe equi-join
+    search."""
+    if centroids is None:
+        centroids = ivf_centroid_array(corpus, n_centroids, id_col, vec_col)
+    cen = centroids
+    if assigned is None:
+        assigned = ivf_assign(corpus, cen, id_col, vec_col, method=method)
+    c = assigned.select(
         F.col(id_col).cast("long").alias("neighbor_id"), F.col("_unit").alias("_cv"), "centroid_id"
     )
     q = with_unit_vector(queries.crossJoin(F.broadcast(cen)), vec_col)

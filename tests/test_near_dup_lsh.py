@@ -75,6 +75,51 @@ def test_planted_near_dup_recall_high_threshold(spark):
     assert recall >= 0.9, f"planted-near-dup recall {recall:.2f}"
 
 
+def test_auto_config_is_sized_from_threshold():
+    """Defaults must SOLVE the collision model for the recall target, not
+    ship one fixed config: aggressive (low) thresholds buy more tables."""
+    assert ANN.lsh_config_for(0.4)[:2] == (4, 14)
+    assert ANN.lsh_config_for(0.9)[:2] == (4, 3)
+    assert ANN.lsh_config_for(0.25)[:2] == (4, 20)
+    for thr in (0.25, 0.4, 0.9):
+        _, _, recall = ANN.lsh_config_for(thr)
+        assert recall >= 0.9
+    # unreachable targets warn instead of silently under-delivering
+    with pytest.warns(UserWarning, match="capped"):
+        nb, nt, recall = ANN.lsh_config_for(-0.5)
+    assert nt == 64 and recall < 0.9
+
+
+def test_gemm_paths_preserve_string_ids(spark):
+    rows = [(f"doc-{i:03d}", [float((i * 7 + d) % 11) - 5.0 for d in range(16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    # near-dup lsh path: string ids survive end-to-end
+    out = ANN.embedding_near_dup_pairs(df, threshold=0.3, n_bits=4, n_tables=4)
+    assert dict(out.dtypes)["id_a"] == "string"
+    out.count()
+    # exact brute-force gemm: string ids survive
+    topk = ANN.cosine_topk(df.limit(3), df, k=2)
+    assert dict(topk.dtypes)["neighbor_id"] == "string"
+    assert topk.count() == 6
+    # blocked mode requires integer ids -- loud, not mangled
+    with pytest.raises(ValueError, match="integer id"):
+        ANN.embedding_near_dup_pairs(df, threshold=0.3, method="blocked")
+
+
+def test_lsh_topk_gemm_honors_dim_like_fold(spark):
+    rows = [(i, [float((i * 13 + d) % 17) - 8.0 for d in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    for dim in (32, 64):
+        g = sorted(
+            ANN.lsh_bucketed_topk(q, df, k=3, n_bits=4, dim=dim, method="gemm").collect()
+        )
+        f = sorted(
+            ANN.lsh_bucketed_topk(q, df, k=3, n_bits=4, dim=dim, method="fold").collect()
+        )
+        assert g == f, f"gemm/fold disagree at dim={dim}"
+
+
 def test_dedup_operators_leave_no_persistent_rdds(spark, sf_dir):
     """Directive: the shingle cache must not leak into session storage —
     executing the jaccard/minhash operators leaves getPersistentRDDs empty."""
