@@ -84,10 +84,28 @@ def _shingle_sets(sh: DataFrame) -> DataFrame:
     )
 
 
-def _verify_pairs(candidates: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+def _small_relation(df: DataFrame, threshold_bytes: int) -> bool:
+    """Catalyst size estimate under the threshold — the broadcast-hint
+    decision used by the dedup joins. Read from plan statistics (no job);
+    conservatively False when stats are unavailable, so at real corpus
+    scale the hints turn themselves off."""
+    try:
+        sz = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString())
+        return sz <= threshold_bytes
+    except Exception:
+        return False
+
+
+def _verify_pairs(
+    candidates: DataFrame, sets: DataFrame, threshold: float, broadcast_candidates: bool = False
+) -> DataFrame:
     """Exact Jaccard for candidate pairs ONLY: join each side to its full
     shingle set and set-intersect per pair. Cost ∝ |candidates|·doc_size,
-    independent of the corpus-wide shingle-pair space."""
+    independent of the corpus-wide shingle-pair space. A broadcast hint on
+    the (id-pair-only) candidate side keeps the heavy shingle-set relation
+    from being exchanged twice — right whenever candidates fit in memory."""
+    if broadcast_candidates:
+        candidates = F.broadcast(candidates)
     sa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("n_sh").alias("n_a"))
     sb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("n_sh").alias("n_b"))
     return (
@@ -111,6 +129,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
     prefix_filter: bool = True,
+    broadcast_dfreq: bool | str = "auto",
+    broadcast_threshold_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
@@ -138,9 +158,20 @@ def ngram_jaccard_pairs(
     storage leak in long-running sessions (each call would pin an explode
     until GC). Callers who KNOW the corpus is small can pass an
     already-persisted ``docs`` and manage its lifetime themselves.
+
+    ``broadcast_dfreq`` hints the df-table side of the prefix join as a
+    broadcast: the exploded shingle set then needs NO by-shingle exchange
+    (its dominant local cost). The shingle vocabulary is bounded by the raw
+    text volume, so ``'auto'`` (default) broadcasts exactly when the DOCS
+    relation's Catalyst size estimate is under ``broadcast_threshold_bytes``
+    (128 MB) — read from plan statistics, no extra job — and turns itself
+    off at real corpus scale, where the vocabulary must stay partitioned.
     """
     sh = _shingles(docs, text_col, id_col, n)
     index = sh
+    if broadcast_dfreq == "auto":
+        broadcast_dfreq = _small_relation(docs, broadcast_threshold_bytes)
+    sets = None
     if prefix_filter:
         # ONE df aggregation serves both the prefix order and the optional
         # hot-shingle cap; the join reuses dfreq's by-shingle exchange. The
@@ -148,6 +179,8 @@ def ngram_jaccard_pairs(
         # window evaluations — same (df asc, shingle asc) order, same
         # |prefix| = sz - ceil(t*sz) + 1 bound over the FULL set size.
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        if broadcast_dfreq:
+            dfreq = F.broadcast(dfreq)
         per_doc = (
             sh.join(dfreq, "shingle")
             .groupBy("_id")
@@ -159,6 +192,15 @@ def ngram_jaccard_pairs(
         if max_shingle_df is not None:
             index = index.filter(F.col("_e._df") <= max_shingle_df)
         index = index.select("_id", F.col("_e.shingle").alias("shingle"))
+        # the verify side's full shingle sets come from the SAME per_doc
+        # aggregation (its by-_id exchange is reused by AQE), not a second
+        # explode + groupBy over the corpus — array order is irrelevant to
+        # array_intersect, values unchanged
+        sets = per_doc.select(
+            "_id",
+            F.transform(F.col("_lst"), lambda e: e["shingle"]).alias("_set"),
+            F.size(F.col("_lst")).alias("n_sh"),
+        )
     elif max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -174,7 +216,12 @@ def ngram_jaccard_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return _verify_pairs(candidates, _shingle_sets(sh), threshold)
+    return _verify_pairs(
+        candidates,
+        sets if sets is not None else _shingle_sets(sh),
+        threshold,
+        broadcast_candidates=bool(broadcast_dfreq),
+    )
 
 
 def _minhash_sig_cols(n_hashes: int):
@@ -195,6 +242,8 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_candidates: bool | str = "auto",
+    broadcast_threshold_bytes: int = 128 << 20,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate generation, then exact-Jaccard
     verification of candidates only.
@@ -205,6 +254,10 @@ def minhash_lsh_pairs(
     set intersection against the full shingle sets, so at 100 TB the cost is
     |candidates|·doc_size; the quadratic shingle-pair space is never joined.
     """
+    if broadcast_candidates == "auto":
+        # small corpus => small candidate set: same plan-stats heuristic as
+        # ngram_jaccard_pairs' dfreq broadcast
+        broadcast_candidates = _small_relation(docs, broadcast_threshold_bytes)
     k = bands * rows_per_band
     # not persisted — same storage-hygiene reasoning as ngram_jaccard_pairs:
     # the signature side and the verify side each recompute the explode
@@ -238,7 +291,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    return _verify_pairs(candidates, _shingle_sets(sh), threshold)
+    return _verify_pairs(
+        candidates, _shingle_sets(sh), threshold, broadcast_candidates=bool(broadcast_candidates)
+    )
 
 
 # ---------------------------------------------------------------------------
