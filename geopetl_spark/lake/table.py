@@ -770,11 +770,20 @@ class LakeTable:
             del acl[principal]
         else:
             ops = [ops] if isinstance(ops, str) else list(ops)
-            remaining = set(acl[principal]) - {o.upper() for o in ops}
-            if remaining:
-                acl[principal] = sorted(remaining)
-            else:
+            requested = {o.upper() for o in ops}
+            held = set(acl[principal])
+            if "ALL" in requested:
                 del acl[principal]
+            else:
+                if "ALL" in held:
+                    # partial revoke from an ALL holder must NARROW: expand
+                    # ALL to the concrete op list first, then subtract
+                    held = set(self._VALID_OPS) - {"ALL"}
+                remaining = held - requested
+                if remaining:
+                    acl[principal] = sorted(remaining)
+                else:
+                    del acl[principal]
         return self._publish_acl(m, acl, f"revoke {ops or 'ALL'} from {principal}")
 
     def _publish_acl(self, m: dict, acl: dict, note: str) -> dict:

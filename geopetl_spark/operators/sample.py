@@ -72,6 +72,7 @@ def pack_sequences(
     budget: int = 2048,
     pack_col: str = "pack_id",
     offset_col: str = "pack_offset",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style training layout):
     documents are laid end-to-end in ``order_col`` order and cut into
@@ -86,14 +87,20 @@ def pack_sequences(
     windowed cumulative sum (one shuffle, partitioned by shard). A global
     single-shard pack (``shard_col=None``) is supported but runs the window
     in ONE partition — fine for a tail job, wrong for the full corpus; at
-    100 TB always shard. Deterministic: a pure function of (order, token
-    counts) — reproducible cross-engine (ANSI windowed SUM)."""
+    100 TB always shard.
+
+    Determinism contract: ``(order_col, *tiebreak_cols)`` must TOTALLY
+    order the rows within a shard — with duplicate keys the cumulative sum
+    is partition-layout-dependent and pack assignment varies run to run.
+    With a unique ordering the result is a pure function of (order, token
+    counts), reproducible cross-engine (ANSI windowed SUM). Pass
+    ``tiebreak_cols`` when ``order_col`` alone is not unique."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     part = [F.col(shard_col)] if shard_col else [F.lit(0)]
     w = (
         Window.partitionBy(*part)
-        .orderBy(F.col(order_col))
+        .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0).cast("long"))

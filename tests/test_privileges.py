@@ -44,6 +44,19 @@ def test_grant_revoke_roundtrip_is_versioned(table):
     assert table.revoke("ghost")["noop"] is True
 
 
+def test_partial_revoke_from_all_holder_narrows(table):
+    # 'ALL' - 'SELECT' must expand to the concrete op list, not no-op
+    table.grant("analyst", "ALL")
+    table.revoke("analyst", "SELECT")
+    assert table.privileges()["analyst"] == ["DELETE", "INSERT", "UPDATE"]
+    table.revoke("analyst", ["INSERT", "UPDATE", "DELETE"])
+    assert "analyst" not in table.privileges()
+    # revoking 'ALL' from an ALL holder removes the principal outright
+    table.grant("etl", "ALL")
+    table.revoke("etl", "ALL")
+    assert "etl" not in table.privileges()
+
+
 def test_grant_all_collapses_and_validates(table):
     table.grant("analyst", ["SELECT", "ALL"])
     assert table.privileges()["analyst"] == ["ALL"]

@@ -88,6 +88,25 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert out[4] == (0, 0)
 
 
+def test_pack_sequences_tiebreak_makes_duplicate_order_deterministic(spark):
+    from geopetl_spark.operators.sample import pack_sequences
+
+    # duplicate order_col values: without a tiebreaker the cumulative sum is
+    # partition-layout-dependent; with one it is a pure function of the data
+    rows = [(i % 3, f"d{i}", 100 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp long, doc_id string, n_tok long").repartition(8)
+    runs = [
+        {
+            r.doc_id: (r.pack_id, r.pack_offset)
+            for r in pack_sequences(
+                df, "n_tok", order_col="grp", budget=256, tiebreak_cols=("doc_id",)
+            ).collect()
+        }
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+
+
 def test_pack_sequences_global_and_validation(spark):
     from geopetl_spark.operators.sample import pack_sequences
     import pytest as _pt
