@@ -204,6 +204,12 @@ def main():
     p.add_argument("--cross-strategy-check", action="store_true",
                    help="run ONE extra untimed run with the OTHER strategy at "
                         "4N on the same log and assert checksum equality")
+    p.add_argument("--discard-first", type=int, default=0,
+                   help="warm-window estimator: drop the first k timed epochs "
+                        "before taking the median (session 19 showed MoR's "
+                        "cheap early epochs sample the C2 warm curve and bias "
+                        "the median low at 4N; use with enough epochs that "
+                        "the trailing window is steady-state)")
     args = p.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -259,9 +265,14 @@ def main():
                 )
                 time.sleep(10)  # thermal/turbo cool-down between runs
         def steady(r):
-            # steady-state estimator: median of per-epoch throughputs
-            eps = sorted(r.get("per_epoch_eps") or [r["events_per_sec"]])
-            return eps[len(eps) // 2]
+            # steady-state estimator: median of per-epoch throughputs, after
+            # discarding the first --discard-first epochs (the JVM C2 warm
+            # window; 0 = classic estimator). Falls back to the classic
+            # median when discarding would leave no epochs.
+            eps = r.get("per_epoch_eps") or [r["events_per_sec"]]
+            trailing = eps[args.discard_first:] or eps
+            trailing = sorted(trailing)
+            return trailing[len(trailing) // 2]
 
         # post-run ceilings: a clean session shows pre ≈ post; a big delta or
         # an impossible (>1) reading documents host capacity moving during
@@ -304,6 +315,7 @@ def main():
                 None if other_checksum is None else other_checksum == r_xn["checksum"]
             ),
             "repeats": args.repeats,
+            "discard_first_epochs": args.discard_first,
             "cpu_pinned": bool(args.pin),
             "machine_parallel_ceiling": round(ceiling, 3),
             "machine_bandwidth_ceiling": round(bw_ceiling, 3),
