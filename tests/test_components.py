@@ -83,6 +83,18 @@ def test_entry_label_cache_bounded(spark):
     entry._COMPONENT_LABELS.clear()
 
 
+def test_empty_and_self_loop_pairs(spark):
+    # empty pair set: no components, empty (typed) result
+    empty = dup_components(_pairs(spark, []).filter("id_a is not null"))
+    assert empty.collect() == []
+    empty.unpersist(False)
+    # self-loops only: every node labels itself
+    comps = dup_components(_pairs(spark, [(7, 7), (9, 9)]))
+    got = {r.doc_id: r.component_id for r in comps.collect()}
+    comps.unpersist(False)
+    assert got == {7: 7, 9: 9}
+
+
 def test_storage_released_after_unpersist(spark):
     comps = dup_components(_pairs(spark, [(1, 2), (2, 3)]))
     comps.count()

@@ -112,3 +112,35 @@ def test_ivf_gemm_matches_fold_bit_for_bit(spark, emb):
     g = ANN.ivf_topk(q, emb, k=5, n_centroids=8, nprobe=2, method="gemm")
     f = ANN.ivf_topk(q, emb, k=5, n_centroids=8, nprobe=2, method="fold")
     assert key(g) == key(f)
+
+
+def test_ivf_train_centroids_improves_objective_and_is_deterministic(spark, emb):
+    """Spherical k-means training: (a) deterministic for a fixed input
+    layout, (b) raises the mean similarity-to-assigned-centroid vs the
+    smallest-id seeding, (c) plugs straight into ivf_topk."""
+    from pyspark.sql import functions as F
+
+    seed = ANN.ivf_centroid_array(emb, 8)
+    t1 = ANN.ivf_train_centroids(emb, n_centroids=8, n_iter=4)
+    t2 = ANN.ivf_train_centroids(emb, n_centroids=8, n_iter=4)
+    assert t1.collect() == t2.collect()
+
+    def objective(cen):
+        a = ANN.ivf_assign(emb, cen)
+        cen_rows = cen.collect()[0]["_centroids"]
+        lut = {int(r["cid"]): r["u"] for r in cen_rows}
+        rows = a.select("_unit", "centroid_id").collect()
+        import numpy as np
+
+        sims = [
+            float(np.cumsum(np.array(r["_unit"]) * np.array(lut[r["centroid_id"]]))[-1])
+            for r in rows
+        ]
+        return sum(sims) / len(sims)
+
+    assert objective(t1) > objective(seed) + 0.005
+
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ANN.ivf_topk(q, emb, k=5, nprobe=2, centroids=t1)
+    assert out.count() == 50
+    assert out.columns == ["query_id", "neighbor_id", "similarity", "rank"]
