@@ -38,7 +38,14 @@ from .operators.dedup_text import (
     simhash,
     simhash_pairs,
 )
-from .operators.ann import cosine_topk, embedding_near_dup_pairs, ivf_topk, lsh_bucketed_topk
+from .operators.ann import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    ivf_train_centroids,
+    lsh_bucketed_topk,
+    lsh_config_for,
+)
 from .operators.asof import asof_join
 from .operators.components import component_stats, dup_components
 from .operators.range_join import range_join
@@ -82,4 +89,8 @@ __all__ = [
     "exact_dup_groups", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash", "simhash_pairs",
     "cosine_topk", "lsh_bucketed_topk", "embedding_near_dup_pairs",
+    "lsh_config_for", "ivf_topk", "ivf_train_centroids",
+    "component_stats", "dup_components",
+    "deterministic_sample", "pack_sequences", "split_by_hash",
+    "bpe_encode", "train_bpe_merges", "range_join",
 ]
