@@ -70,6 +70,29 @@ def from_parquet(
     return df
 
 
+def from_orc(
+    spark: SparkSession,
+    path: str,
+    fields: list[str] | None = None,
+    where: str | None = None,
+    limit: int | None = None,
+    sql: str | None = None,
+    fail_on_empty: bool = False,
+    audit_timestamp: bool = False,
+) -> DataFrame:
+    """ORC source with the same read surface as :func:`from_parquet` —
+    projection/predicate/limit push into the ORC scan (Spark's native ORC
+    reader supports the same pushdowns as parquet)."""
+    df = spark.read.orc(path)
+    if sql:
+        df.createOrReplaceTempView("_geopetl_src")
+        return spark.sql(sql)
+    df = _apply_read_surface(df, fields, where, limit, audit_timestamp=audit_timestamp)
+    if fail_on_empty and df.isEmpty():
+        raise ValueError(f"source is empty: {path}")
+    return df
+
+
 def from_csv(
     spark: SparkSession,
     path: str,

@@ -39,6 +39,8 @@ def parse_source_url(uri: str) -> tuple[str, str]:
             return "csv", uri
         if uri.endswith(".json") or uri.endswith(".jsonl"):
             return "json", uri
+        if uri.endswith(".orc"):
+            return "orc", uri
         return "parquet", uri
     path = (p.netloc + p.path) if p.netloc else p.path
     return _normalize_scheme(p.scheme), path
@@ -55,6 +57,8 @@ def read_source(spark: SparkSession, uri: str, **kw) -> DataFrame:
     scheme, path = parse_source_url(uri)
     if scheme == "parquet":
         return readers.from_parquet(spark, path, **kw)
+    if scheme == "orc":
+        return readers.from_orc(spark, path, **kw)
     if scheme == "csv":
         return readers.from_csv(spark, path, **kw)
     if scheme == "json":
@@ -78,6 +82,9 @@ def write_sink(df: DataFrame, uri: str, mode: str = "overwrite", **kw) -> None:
     scheme, path = parse_source_url(uri)
     if scheme == "parquet":
         df.write.mode(mode).parquet(path, **kw)
+        return
+    if scheme == "orc":
+        df.write.mode(mode).orc(path, **kw)
         return
     if scheme == "csv":
         # CSV sink ≈ tocarto's temp-CSV dump step (carto.py:24-27)

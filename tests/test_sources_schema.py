@@ -126,3 +126,22 @@ def test_extract_table_schema(spark, tmp_lake, tmp_path):
     t2_path = str(tmp_path / "lake2")
     t2 = LakeTable.create_from_schema_doc(spark, t2_path, read_schema_doc(out))  # S11 analog
     assert t2.schema() == t.schema() and t2.key_col == "doc_id"
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink: write documents to ORC, read back through the
+    registry with projection + predicate, assert both push into the scan."""
+    from geopetl_spark.sources.registry import read_source, write_sink
+    from geopetl_spark.sources.readers import from_orc
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dest = str(tmp_path / "docs.orc")
+    write_sink(d, f"orc://{dest}")
+    back = read_source(spark, f"orc://{dest}", fields=["doc_id", "n_chars"], where="n_chars > 100")
+    assert back.columns == ["doc_id", "n_chars"]
+    exp = d.filter("n_chars > 100").count()
+    assert back.count() == exp and exp > 0
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split("PushedFilters")[1][:120]
+    # bare .orc path routes without a scheme; empty guard works
+    assert from_orc(spark, dest, limit=3).count() == 3
