@@ -120,6 +120,32 @@ def test_lsh_topk_gemm_honors_dim_like_fold(spark):
         assert g == f, f"gemm/fold disagree at dim={dim}"
 
 
+def test_ngram_broadcast_hint_auto_on_small_and_off_when_forced(spark, sf_dir):
+    """Plan shape: the small-corpus auto heuristic turns the df-table join
+    into a broadcast hash join; a 1-byte threshold forces it back off."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    on = DD.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    assert "BroadcastHashJoin" in _plan(on)
+    off = DD.ngram_jaccard_pairs(docs, threshold=0.8, n=3, broadcast_dfreq=False)
+    got_on = sorted((r.id_a, r.id_b, r.jaccard) for r in on.collect())
+    got_off = sorted((r.id_a, r.id_b, r.jaccard) for r in off.collect())
+    assert got_on == got_off and len(got_on) > 0
+
+
+def test_components_string_ids(spark):
+    """dup_components is id-type generic: string doc ids cluster by
+    lexicographic minimum."""
+    from geopetl_spark.operators.components import dup_components
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")], "id_a string, id_b string"
+    )
+    comps = dup_components(pairs)
+    got = {r.doc_id: r.component_id for r in comps.collect()}
+    comps.unpersist(False)
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a", "x": "x", "y": "x"}
+
+
 def test_dedup_operators_leave_no_persistent_rdds(spark, sf_dir):
     """Directive: the shingle cache must not leak into session storage —
     executing the jaccard/minhash operators leaves getPersistentRDDs empty."""
