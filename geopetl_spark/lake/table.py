@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Any
@@ -233,6 +234,84 @@ class LakeTable:
         fields.append(T.StructField(SEQ_COL, T.LongType(), True))
         return T.StructType(fields)
 
+    # ------------------------------------------------------- zone pruning
+
+    _ZONE_PRED_RE = re.compile(
+        r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$"
+    )
+
+    @classmethod
+    def _parse_zone_preds(cls, where: str) -> list[tuple[str, str, object]] | None:
+        """AND-conjunctions of ``col OP literal`` only (OP in =,<,<=,>,>=).
+        Returns None for anything richer (OR/NOT/IN/LIKE/functions/parens) —
+        pruning then stays off and the full filter still runs in the plan."""
+        if re.search(r"(?i)\b(or|not|in|like|between|is|null)\b|[()]", where):
+            return None
+        preds: list[tuple[str, str, object]] = []
+        for part in re.split(r"(?i)\band\b", where):
+            mt = cls._ZONE_PRED_RE.match(part)
+            if not mt:
+                return None
+            col, op, raw, s = mt.group(1), mt.group(2), mt.group(3), mt.group(4)
+            val: object = s if s is not None else (float(raw) if "." in raw else int(raw))
+            preds.append((col, op, val))
+        return preds or None
+
+    @staticmethod
+    def _zones_may_match(zones: dict, preds: list[tuple[str, str, object]]) -> bool:
+        """False only when a predicate PROVABLY excludes the zone range
+        (null-safe: parquet min/max ignore nulls, and null comparisons are
+        UNKNOWN under every accepted operator, so a pruned dir can hold no
+        qualifying row)."""
+        for col, op, val in preds:
+            z = zones.get(col)
+            if not z:
+                continue  # no stats for this column -> cannot prune on it
+            lo, hi = z
+            if isinstance(val, str) != isinstance(lo, str):
+                continue  # type mismatch -> be conservative
+            if (
+                (op == "=" and (val < lo or val > hi))
+                or (op == ">" and hi <= val)
+                or (op == ">=" and hi < val)
+                or (op == "<" and lo >= val)
+                or (op == "<=" and lo > val)
+            ):
+                return False
+        return True
+
+    @staticmethod
+    def _merge_zones(a: dict | None, b: dict | None) -> dict:
+        """Union of two zone maps: common columns widen; a side with
+        unknown zones (None) makes the union unknowable (empty)."""
+        if a is None or b is None:
+            return {}
+        return {
+            k: [min(a[k][0], b[k][0]), max(a[k][1], b[k][1])]
+            for k in a.keys() & b.keys()
+        }
+
+    def _pruned_buckets(self, m: dict, where: str | None) -> set[str]:
+        """Bucket keys whose BASE dirs provably hold no row matching
+        ``where`` (zone-map data skipping). Buckets carrying MoR deltas are
+        never pruned: the delta may supersede a base row, and dropping the
+        base pre-reduce could resurrect stale state."""
+        if not where:
+            return set()
+        preds = self._parse_zone_preds(where)
+        if not preds:
+            return set()
+        stats = m.get("bucket_stats") or {}
+        deltas = m.get("deltas") or {}
+        out = set()
+        for b in m["buckets"]:
+            if deltas.get(b):
+                continue
+            zones = (stats.get(b) or {}).get("zones")
+            if zones and not self._zones_may_match(zones, preds):
+                out.add(b)
+        return out
+
     def read(
         self,
         version: int | None = None,
@@ -247,7 +326,11 @@ class LakeTable:
         Bucket pruning is manifest-level **file pruning**: only the data
         directories of requested buckets are scanned — the engine's own
         partition pruning, independent of (and additive to) parquet
-        row-group stats on ``_bucket``.
+        row-group stats on ``_bucket``. ``where=`` additionally applies
+        **zone-map data skipping**: per-bucket column min/max harvested from
+        parquet footers at write time prune buckets a simple range/equality
+        conjunction provably cannot match (the filter itself always still
+        runs — pruning only removes provably-empty scans).
 
         Merge-on-read: when the manifest carries delta dirs for the selected
         buckets, base and delta rows are unioned and reduced per key via
@@ -255,9 +338,10 @@ class LakeTable:
         writes; ``compact()`` folds deltas back into the base to reclaim it.
         """
         m = self.manifest(version)
+        skip = self._pruned_buckets(m, where)
         dirs: list[str] = []
         for b, dlist in m["buckets"].items():
-            if buckets is None or int(b) in set(buckets):
+            if (buckets is None or int(b) in set(buckets)) and b not in skip:
                 dirs.extend(dlist)
         delta_dirs: list[str] = []
         for b, dlist in m.get("deltas", {}).items():
@@ -344,25 +428,58 @@ class LakeTable:
 
     @staticmethod
     def _file_stats(dirs: list[str]) -> dict:
-        """(rows, live) for a list of parquet dirs: rows from footer
-        metadata, deletes counted from the _deleted column alone."""
+        """(rows, live, zones) for a list of parquet dirs: rows from footer
+        metadata, deletes counted from the _deleted column alone, and
+        per-column **zone maps** (min/max over every row group) for scalar
+        int/float/bool/string columns — Iceberg-manifest-style data-skipping
+        stats, harvested from the footers the writer just produced (zero
+        Spark jobs, zero data-page reads). A column missing statistics in
+        ANY file is dropped from the zones (conservative: no pruning on
+        it)."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         rows = deleted = 0
+        zones: dict[str, list] = {}
+        dead: set[str] = set()
         for d in dirs:
             for fn in os.listdir(d):
                 if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
                     continue
                 pf = pq.ParquetFile(os.path.join(d, fn))
-                n = pf.metadata.num_rows
+                md = pf.metadata
+                n = md.num_rows
                 rows += n
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if "." in name or name in dead or name.startswith("_"):
+                            continue  # nested / system / known-unusable
+                        st = col.statistics
+                        ok = (
+                            st is not None
+                            and st.has_min_max
+                            and isinstance(st.min, (int, float, str, bool))
+                            and isinstance(st.max, (int, float, str, bool))
+                        )
+                        if not ok:
+                            dead.add(name)
+                            zones.pop(name, None)
+                            continue
+                        z = zones.get(name)
+                        if z is None:
+                            zones[name] = [st.min, st.max]
+                        else:
+                            z[0] = min(z[0], st.min)
+                            z[1] = max(z[1], st.max)
                 if n and DELETED_COL in pf.schema_arrow.names:
                     col = pf.read(columns=[DELETED_COL]).column(DELETED_COL)
                     deleted += int(
                         pc.sum(pc.cast(pc.fill_null(col, False), "int64")).as_py() or 0
                     )
-        return {"rows": rows, "live": rows - deleted}
+        return {"rows": rows, "live": rows - deleted, "zones": zones}
 
     def write(
         self,
@@ -402,10 +519,17 @@ class LakeTable:
             buckets = {k: list(v) for k, v in m["buckets"].items()}
             bucket_stats = {k: dict(v) for k, v in m.get("bucket_stats", {}).items()}
             for b, dlist in written.items():
+                had_prior = bool(buckets.get(b))
                 buckets.setdefault(b, []).extend(dlist)
                 bs = bucket_stats.setdefault(b, {"rows": 0, "live": 0})
                 bs["rows"] += wstats[b]["rows"]
                 bs["live"] += wstats[b]["live"]
+                # zone maps widen under append; prior dirs with UNKNOWN
+                # zones poison the union (old manifests) -> drop, no pruning
+                nz = wstats[b].get("zones", {})
+                bs["zones"] = (
+                    self._merge_zones(bs.get("zones"), nz) if had_prior else nz
+                )
             deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
             prev_total = m["summary"].get("total_rows", 0)
             total = None if prev_total is None else prev_total + n_new

@@ -1,0 +1,89 @@
+"""Zone-map data skipping: per-bucket column min/max harvested from parquet
+footers at write time, conservative predicate pruning at read time (simple
+AND-range conjunctions only; MoR-delta buckets never pruned)."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from geopetl_spark import LakeTable  # noqa: E402
+from tests.test_cdc_engine import DOC_SCHEMA  # noqa: E402
+
+
+def _rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"k{i}", [i], i, "src", "I", i) for i in range(lo, hi)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    ).drop("op", "lsn")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "lake")).create(
+        DOC_SCHEMA, key_col="doc_id", n_buckets=4
+    )
+    t.write(_rows(spark, 0, 200), mode="overwrite")
+    return t
+
+
+def test_zones_recorded_with_correct_global_range(table):
+    stats = table.manifest()["bucket_stats"]
+    assert stats
+    mins, maxs = [], []
+    for b, s in stats.items():
+        z = s["zones"]
+        assert set(z) >= {"doc_id", "n_tok", "source"}
+        mins.append(z["n_tok"][0])
+        maxs.append(z["n_tok"][1])
+        assert z["source"] == ["src", "src"]
+    assert min(mins) == 0 and max(maxs) == 199
+
+
+def test_pruning_excludes_provably_empty_buckets(table):
+    m = table.manifest()
+    # out-of-range predicate -> every bucket provably empty
+    assert table._pruned_buckets(m, "n_tok > 5000") == set(m["buckets"].keys())
+    assert table._pruned_buckets(m, "n_tok = 9999") == set(m["buckets"].keys())
+    assert table._pruned_buckets(m, "source = 'other'") == set(m["buckets"].keys())
+    # in-range -> nothing provably empty (every bucket spans the range)
+    assert table._pruned_buckets(m, "n_tok >= 0") == set()
+    # complex expressions disable pruning, never wrong results
+    assert table._pruned_buckets(m, "n_tok > 5000 or n_tok < 0") == set()
+    assert table._pruned_buckets(m, "abs(n_tok) > 5000") == set()
+    assert table._pruned_buckets(m, "n_tok is null") == set()
+
+
+def test_pruned_read_matches_unpruned_filter(table):
+    full = table.read()
+    for where in ("n_tok > 150", "n_tok <= 10", "n_tok = 42 and source = 'src'", "n_tok > 5000"):
+        got = sorted(r.doc_id for r in table.read(where=where).collect())
+        exp = sorted(r.doc_id for r in full.filter(where).collect())
+        assert got == exp, where
+
+
+def test_append_widens_zones(table, spark):
+    table.write(_rows(spark, 1000, 1050), mode="append")
+    stats = table.manifest()["bucket_stats"]
+    maxs = [s["zones"]["n_tok"][1] for s in stats.values() if s.get("zones")]
+    assert max(maxs) == 1049
+    # the old range is still covered: nothing in [0,200) is prunable
+    assert table._pruned_buckets(table.manifest(), "n_tok = 100") == set()
+
+
+def test_mor_delta_buckets_are_never_pruned(table, spark):
+    batch = spark.createDataFrame(
+        [("k0", [7], 7000, "src", "U", 10_000)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+    table.merge(batch, epoch_id=99, lsn_col="lsn", op_col="op", strategy="mor")
+    m = table.manifest()
+    delta_buckets = set(m["deltas"].keys())
+    assert delta_buckets
+    # n_tok = 7000 is outside every BASE zone, but the delta bucket must
+    # survive pruning (its delta holds the matching row)
+    pruned = table._pruned_buckets(m, "n_tok = 7000")
+    assert pruned.isdisjoint(delta_buckets)
+    got = {r.doc_id for r in table.read(where="n_tok = 7000").collect()}
+    assert got == {"k0"}
