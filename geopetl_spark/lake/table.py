@@ -291,6 +291,24 @@ class LakeTable:
             for k in a.keys() & b.keys()
         }
 
+    @staticmethod
+    def _advance_watermark(m: dict, wstats: dict) -> int | None:
+        """Monotone LSN high-water mark, advanced from the _lsn zone maps
+        the writer just harvested — no extra jobs, never regresses (compact
+        rewrites old data; its harvest can only confirm the mark)."""
+        prev = m.get("lsn_watermark")
+        vals = [
+            s["zones"][LSN_COL][1]
+            for s in wstats.values()
+            if s.get("zones", {}).get(LSN_COL) is not None
+        ]
+        cur = int(max(vals)) if vals else None
+        if prev is None:
+            return cur
+        if cur is None:
+            return int(prev)
+        return max(int(prev), cur)
+
     def _pruned_buckets(self, m: dict, where: str | None) -> set[str]:
         """Bucket keys whose BASE dirs provably hold no row matching
         ``where`` (zone-map data skipping). Buckets carrying MoR deltas are
@@ -363,6 +381,33 @@ class LakeTable:
         if limit is not None:
             df = df.limit(limit)
         return df
+
+    def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog read (CDC-out, Iceberg-incremental-style):
+        every key whose state changed after ``since_version``'s LSN
+        watermark, as of ``to_version`` (default: current). Upserts surface
+        as live rows, deletes as ``_deleted=True`` tombstones; columns =
+        table schema + ``_lsn`` + ``_deleted``.
+
+        Cost model: the ``_lsn`` zone maps prune every bucket whose maximum
+        LSN is at or below the watermark, so an epoch that touched 3 of
+        4096 buckets reads 3 buckets — the changelog is O(changed data),
+        not O(table). Rows loaded through the bulk ``write`` path carry no
+        LSN and never appear (the changelog covers CDC-merged state); a
+        ``since_version`` predating the first merge yields the full
+        CDC-derived state."""
+        wm = self.manifest(since_version).get("lsn_watermark")
+        m_to = self.manifest(to_version)
+        pred = None if wm is None else f"{LSN_COL} > {int(wm)}"
+        skip = self._pruned_buckets(m_to, pred)
+        all_b = set(m_to["buckets"]) | set(m_to.get("deltas") or {})
+        keep = [int(b) for b in all_b if b not in skip]
+        df = self.read(version=to_version, buckets=keep, include_system=True)
+        if wm is not None:
+            df = df.filter(F.col(LSN_COL) > F.lit(int(wm)))
+        else:
+            df = df.filter(F.col(LSN_COL).isNotNull())
+        return df.drop(BUCKET_COL, SEQ_COL)
 
     def count(self) -> int:
         # metadata-only row count, ≈ A1 (oracle_sde.py:1084-1091) served from
@@ -455,8 +500,12 @@ class LakeTable:
                     for ci in range(g.num_columns):
                         col = g.column(ci)
                         name = col.path_in_schema
-                        if "." in name or name in dead or name.startswith("_"):
-                            continue  # nested / system / known-unusable
+                        if "." in name or name in dead or (
+                            name.startswith("_") and name != LSN_COL
+                        ):
+                            # nested / system / known-unusable (the _lsn
+                            # zone stays: it drives changelog bucket pruning)
+                            continue
                         st = col.statistics
                         ok = (
                             st is not None
@@ -547,6 +596,7 @@ class LakeTable:
             buckets=buckets,
             deltas=deltas,
             bucket_stats=bucket_stats,
+            lsn_watermark=self._advance_watermark(m, wstats),
             summary={"total_rows": total, "operation": mode, "rows_written": n_new},
             lineage=(lineage or []),
         )
@@ -567,6 +617,7 @@ class LakeTable:
             buckets={},
             deltas={},
             bucket_stats={},
+            lsn_watermark=None,
             summary={"total_rows": 0, "operation": "truncate"},
             lineage=[],
         )
@@ -713,6 +764,7 @@ class LakeTable:
             buckets=buckets,
             deltas=deltas,
             bucket_stats=bucket_stats,
+            lsn_watermark=self._advance_watermark(m, wstats),
             summary={
                 "operation": "merge",
                 "total_rows": total,
@@ -775,6 +827,7 @@ class LakeTable:
             committed_epochs=_merge_epochs(m.get("committed_epochs", []), epoch_id),
             schema=json.loads(new_schema.json()),
             deltas=deltas,
+            lsn_watermark=self._advance_watermark(m, wstats),
             summary={
                 "operation": "merge",
                 "mode": "mor",
@@ -990,6 +1043,7 @@ class LakeTable:
             buckets=written,
             deltas={},  # the read above reduced deltas into the rewrite
             bucket_stats=wstats,
+            lsn_watermark=self._advance_watermark(m, wstats),
             summary={"operation": "compact", "total_rows": n_live, "rows_written": n},
         )
         self._publish(new_m)

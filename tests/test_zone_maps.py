@@ -87,3 +87,60 @@ def test_mor_delta_buckets_are_never_pruned(table, spark):
     assert pruned.isdisjoint(delta_buckets)
     got = {r.doc_id for r in table.read(where="n_tok = 7000").collect()}
     assert got == {"k0"}
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+
+
+def test_changelog_emits_only_post_watermark_state(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "cl")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=8)
+    t.merge(
+        _batch(spark, [(f"k{i}", [i], i, "s", "I", i + 1) for i in range(20)]),
+        epoch_id=0, lsn_col="lsn", op_col="op",
+    )
+    v1 = t.manifest()["version"]
+    assert t.manifest()["lsn_watermark"] == 20
+    # epoch 1: one update, one delete
+    t.merge(
+        _batch(spark, [("k3", [99], 99, "s", "U", 100), ("k7", None, None, "s", "D", 101)]),
+        epoch_id=1, lsn_col="lsn", op_col="op",
+    )
+    assert t.manifest()["lsn_watermark"] == 101
+    changes = {r.doc_id: (r.n_tok, r._deleted, r._lsn) for r in t.read_changes(v1).collect()}
+    assert changes == {"k3": (99, False, 100), "k7": (None, True, 101)}
+    # changelog from table creation = full CDC-derived state (19 live + 1 tombstone)
+    assert t.read_changes(0).count() == 20
+    # _lsn zone pruning: only the buckets epoch 1 touched are read
+    m = t.manifest()
+    pruned = t._pruned_buckets(m, f"_lsn > {20}")
+    touched = len(m["buckets"]) - len(pruned)
+    assert 1 <= touched <= 2, (touched, pruned)
+
+
+def test_changelog_mor_and_bulk_rows_excluded(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "cl2")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    t.merge(
+        _batch(spark, [(f"k{i}", [i], i, "s", "I", i + 1) for i in range(10)]),
+        epoch_id=0, lsn_col="lsn", op_col="op",
+    )
+    v1 = t.manifest()["version"]
+    # bulk-written rows carry no LSN -> never surface in the changelog
+    t.write(_rows(spark, 500, 505), mode="append")
+    # MoR epoch: delta-only change still surfaces through the reduce
+    t.merge(
+        _batch(spark, [("k2", [7], 777, "s", "U", 50)]),
+        epoch_id=1, lsn_col="lsn", op_col="op", strategy="mor",
+    )
+    got = {r.doc_id: r.n_tok for r in t.read_changes(v1).collect()}
+    assert got == {"k2": 777}
+    # compaction folds deltas but must not regress the watermark or
+    # resurrect pre-watermark rows in the changelog
+    wm_before = t.manifest()["lsn_watermark"]
+    t.compact()
+    assert t.manifest()["lsn_watermark"] == wm_before
+    got2 = {r.doc_id: r.n_tok for r in t.read_changes(v1).collect()}
+    assert got2 == {"k2": 777}
