@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> dict:
     )
     p.add_argument("--drift-epoch", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--changes-since", type=int, default=None, metavar="VERSION",
+        help="CDC-out mode: instead of ingesting, print the incremental "
+        "changelog (upserts + delete tombstones) past table VERSION's LSN "
+        "watermark, and exit",
+    )
     args = p.parse_args(argv)
 
     if args.workdir:
@@ -76,6 +82,21 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
     table = LakeTable(spark, args.table)
+    if args.changes_since is not None:
+        if not table.exists():
+            p.error(f"no lake table at {args.table}")
+        ch = table.read_changes(args.changes_since)
+        n_del = ch.filter("_deleted").count()
+        out = {
+            "mode": "changes",
+            "since_version": args.changes_since,
+            "current_version": table.manifest()["version"],
+            "changed_rows": ch.count(),
+            "delete_tombstones": n_del,
+            "lsn_watermark": table.manifest().get("lsn_watermark"),
+        }
+        print(json.dumps(out))
+        return out
     if not table.exists():
         table.create(DOC_SCHEMA, key_col="doc_id", n_buckets=args.n_buckets)
 
