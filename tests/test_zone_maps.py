@@ -144,3 +144,23 @@ def test_changelog_mor_and_bulk_rows_excluded(spark, tmp_path):
     assert t.manifest()["lsn_watermark"] == wm_before
     got2 = {r.doc_id: r.n_tok for r in t.read_changes(v1).collect()}
     assert got2 == {"k2": 777}
+
+
+def test_changelog_surfaces_evolved_columns(spark, tmp_path):
+    """A column added by a later epoch appears in the changelog; rows from
+    before the column existed would read as NULL under the evolved schema."""
+    t = LakeTable(spark, str(tmp_path / "cl3")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    t.merge(
+        _batch(spark, [("a", [1], 1, "s", "I", 1), ("b", [2], 2, "s", "I", 2)]),
+        epoch_id=0, lsn_col="lsn", op_col="op",
+    )
+    v1 = t.manifest()["version"]
+    evolved = spark.createDataFrame(
+        [("a", [9], 9, "s", "web", "U", 10)],
+        "doc_id string, tokens array<int>, n_tok int, source string, origin string, op string, lsn long",
+    )
+    t.merge(evolved, epoch_id=1, lsn_col="lsn", op_col="op")
+    ch = t.read_changes(v1)
+    assert "origin" in ch.columns
+    rows = {r.doc_id: r.origin for r in ch.collect()}
+    assert rows == {"a": "web"}
