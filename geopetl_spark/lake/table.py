@@ -310,10 +310,13 @@ class LakeTable:
         return max(int(prev), cur)
 
     def _pruned_buckets(self, m: dict, where: str | None) -> set[str]:
-        """Bucket keys whose BASE dirs provably hold no row matching
-        ``where`` (zone-map data skipping). Buckets carrying MoR deltas are
-        never pruned: the delta may supersede a base row, and dropping the
-        base pre-reduce could resurrect stale state."""
+        """Bucket keys that provably hold no row matching ``where`` (zone-map
+        data skipping). A bucket carrying MoR deltas prunes only when BOTH
+        its base zones AND its delta zones exclude the predicate — pruning
+        is all-or-nothing per bucket, because dropping only one side before
+        the read-time reduce could resurrect superseded state. Buckets whose
+        delta dirs predate delta-zone tracking have unknown delta zones and
+        never prune (conservative)."""
         if not where:
             return set()
         preds = self._parse_zone_preds(where)
@@ -321,12 +324,18 @@ class LakeTable:
             return set()
         stats = m.get("bucket_stats") or {}
         deltas = m.get("deltas") or {}
+        dstats = m.get("delta_stats") or {}
         out = set()
-        for b in m["buckets"]:
-            if deltas.get(b):
-                continue
-            zones = (stats.get(b) or {}).get("zones")
-            if zones and not self._zones_may_match(zones, preds):
+        for b in set(m["buckets"]) | set(deltas):
+            base_zones = (stats.get(b) or {}).get("zones")
+            base_misses = not m["buckets"].get(b) or (
+                bool(base_zones) and not self._zones_may_match(base_zones, preds)
+            )
+            delta_zones = (dstats.get(b) or {}).get("zones")
+            delta_misses = not deltas.get(b) or (
+                bool(delta_zones) and not self._zones_may_match(delta_zones, preds)
+            )
+            if base_misses and delta_misses:
                 out.add(b)
         return out
 
@@ -363,7 +372,9 @@ class LakeTable:
                 dirs.extend(dlist)
         delta_dirs: list[str] = []
         for b, dlist in m.get("deltas", {}).items():
-            if buckets is None or int(b) in set(buckets):
+            # skip is all-or-nothing per bucket (base AND delta provably
+            # miss), so dropping the delta dirs with the base is safe
+            if (buckets is None or int(b) in set(buckets)) and b not in skip:
                 delta_dirs.extend(dlist)
         read_schema = self._read_schema(m)
         if not dirs and not delta_dirs:
@@ -382,7 +393,12 @@ class LakeTable:
             df = df.limit(limit)
         return df
 
-    def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        on_bulk: str = "error",
+    ) -> DataFrame:
         """Incremental changelog read (CDC-out, Iceberg-incremental-style):
         every key whose state changed after ``since_version``'s LSN
         watermark, as of ``to_version`` (default: current). Upserts surface
@@ -392,12 +408,54 @@ class LakeTable:
         Cost model: the ``_lsn`` zone maps prune every bucket whose maximum
         LSN is at or below the watermark, so an epoch that touched 3 of
         4096 buckets reads 3 buckets — the changelog is O(changed data),
-        not O(table). Rows loaded through the bulk ``write`` path carry no
-        LSN and never appear (the changelog covers CDC-merged state); a
-        ``since_version`` predating the first merge yields the full
-        CDC-derived state."""
-        wm = self.manifest(since_version).get("lsn_watermark")
+        not O(table); a ``since_version`` predating the first merge yields
+        the full CDC-derived state.
+
+        **Changelog-retention contract** (enforced, not advisory):
+
+        * History breaks — ``write(mode='overwrite')``, ``truncate()``, and
+          ``compact(drop_tombstones=True)`` (which physically removes
+          delete events) — advance ``changelog_min_version``; a
+          ``since_version`` older than it RAISES, because an incremental
+          read across the break would silently miss deletes or rewritten
+          state. Consumers must resync from a full snapshot ``read()``.
+          Operationally: drop tombstones only once every changelog
+          consumer's checkpoint has passed them.
+        * Bulk ``write(mode='append')`` commits load rows with no LSN,
+          which the changelog can never surface. A read window spanning
+          one raises by default so backfilled keys cannot be missed
+          silently; pass ``on_bulk='ignore'`` to read the merge-only
+          changes anyway (correct when the backfill is known disjoint
+          from CDC keys, e.g. a separate source partition)."""
+        if on_bulk not in ("error", "ignore"):
+            raise ValueError(f"on_bulk must be 'error' or 'ignore', got {on_bulk!r}")
         m_to = self.manifest(to_version)
+        min_v = m_to.get("changelog_min_version")
+        if min_v is not None and since_version < int(min_v):
+            op = m_to.get("changelog_min_reason", "a history-breaking commit")
+            raise ValueError(
+                f"changelog window since_version={since_version} predates "
+                f"version {min_v} ({op}): incremental reads across it would "
+                f"silently miss deletes or rewritten state. Resync from a "
+                f"full snapshot read() and restart the changelog from "
+                f"version {min_v} or later."
+            )
+        bulk = [
+            int(v)
+            for v in m_to.get("bulk_write_versions", [])
+            if since_version < int(v) <= m_to["version"]
+        ]
+        if bulk and on_bulk == "error":
+            raise ValueError(
+                f"changelog window ({since_version}, {m_to['version']}] spans "
+                f"bulk-append commit(s) at version(s) {bulk}: bulk-loaded rows "
+                f"carry no LSN and never surface in the changelog, so a "
+                f"consumer would silently miss the backfilled keys. Either "
+                f"resync from a full snapshot read(), load backfills through "
+                f"merge() with synthetic LSNs, or pass on_bulk='ignore' to "
+                f"read the merge-only changes."
+            )
+        wm = self.manifest(since_version).get("lsn_watermark")
         pred = None if wm is None else f"{LSN_COL} > {int(wm)}"
         skip = self._pruned_buckets(m_to, pred)
         all_b = set(m_to["buckets"]) | set(m_to.get("deltas") or {})
@@ -461,74 +519,75 @@ class LakeTable:
             if name.startswith(f"{_PART_COL}="):
                 b = name.split("=", 1)[1]
                 written[b] = [os.path.join(snapdir, name)]
-        # Per-bucket row accounting from parquet FOOTERS plus a driver-side
-        # read of only the tombstone-flag column (RLE booleans, ~KBs/file) —
-        # zero Spark jobs, zero data-page rescans of what was just written
-        # (previously this was a full two-column readback job per commit;
-        # Iceberg keeps the same stats in its manifests for the same reason).
-        stats = {b: self._file_stats(dirs) for b, dirs in written.items()}
+        # Per-bucket row accounting from parquet FOOTERS plus a read of only
+        # the tombstone-flag column (RLE booleans, ~KBs/file) — zero
+        # data-page rescans of what was just written (previously this was a
+        # full two-column readback job per commit; Iceberg keeps the same
+        # stats in its manifests for the same reason). Small commits harvest
+        # on the driver (no job-launch overhead); large commits fan the
+        # footer reads out across executors so the commit path never
+        # serializes O(files) metadata reads (see _harvest_stats).
+        stats = self._harvest_stats(written)
         n_rows = sum(v["rows"] for v in stats.values())
         n_live = sum(v["live"] for v in stats.values())
         return written, stats, n_rows, n_live
 
+    # distributed-harvest crossover: below this many files the driver loop
+    # beats the fixed cost of one Spark job. Local-FS footer reads are
+    # ~0.5 ms so the measured crossover here is ~2k files (the distributed
+    # curve stays FLAT at ~1.2 s from 256 to 4096 files while serial grows
+    # linearly — tools/bench_harvest.py); on an object store a footer is
+    # 1-2 GETs (~20-80 ms) and the crossover drops to tens of files, so
+    # the default splits the difference. Tunable per deployment.
+    _HARVEST_DRIVER_MAX_FILES = 512
+
     @staticmethod
     def _file_stats(dirs: list[str]) -> dict:
-        """(rows, live, zones) for a list of parquet dirs: rows from footer
-        metadata, deletes counted from the _deleted column alone, and
-        per-column **zone maps** (min/max over every row group) for scalar
-        int/float/bool/string columns — Iceberg-manifest-style data-skipping
-        stats, harvested from the footers the writer just produced (zero
-        Spark jobs, zero data-page reads). A column missing statistics in
-        ANY file is dropped from the zones (conservative: no pruning on
-        it)."""
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        rows = deleted = 0
-        zones: dict[str, list] = {}
-        dead: set[str] = set()
+        """(rows, live, zones) for a list of parquet dirs — the driver-serial
+        reference harvest; see :func:`_stat_parquet_file` for the per-file
+        extraction and :func:`_combine_file_stats` for the (order-
+        independent) merge. Kept as the small-commit path and the equality
+        reference for the distributed harvest."""
+        files = []
         for d in dirs:
-            for fn in os.listdir(d):
-                if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
-                    continue
-                pf = pq.ParquetFile(os.path.join(d, fn))
-                md = pf.metadata
-                n = md.num_rows
-                rows += n
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci in range(g.num_columns):
-                        col = g.column(ci)
-                        name = col.path_in_schema
-                        if "." in name or name in dead or (
-                            name.startswith("_") and name != LSN_COL
-                        ):
-                            # nested / system / known-unusable (the _lsn
-                            # zone stays: it drives changelog bucket pruning)
-                            continue
-                        st = col.statistics
-                        ok = (
-                            st is not None
-                            and st.has_min_max
-                            and isinstance(st.min, (int, float, str, bool))
-                            and isinstance(st.max, (int, float, str, bool))
-                        )
-                        if not ok:
-                            dead.add(name)
-                            zones.pop(name, None)
-                            continue
-                        z = zones.get(name)
-                        if z is None:
-                            zones[name] = [st.min, st.max]
-                        else:
-                            z[0] = min(z[0], st.min)
-                            z[1] = max(z[1], st.max)
-                if n and DELETED_COL in pf.schema_arrow.names:
-                    col = pf.read(columns=[DELETED_COL]).column(DELETED_COL)
-                    deleted += int(
-                        pc.sum(pc.cast(pc.fill_null(col, False), "int64")).as_py() or 0
-                    )
-        return {"rows": rows, "live": rows - deleted, "zones": zones}
+            for fn in sorted(os.listdir(d)):
+                if not fn.startswith((".", "_")) and fn.endswith(".parquet"):
+                    files.append(os.path.join(d, fn))
+        return _combine_file_stats([_stat_parquet_file(p) for p in files])
+
+    def _harvest_stats(self, written: dict[str, list[str]]) -> dict[str, dict]:
+        """Bucket → (rows, live, zones) for a just-written snapshot.
+
+        The footer reads are the commit path's only O(files) work; at real
+        epoch sizes (10³–10⁴ files across thousands of buckets) a serial
+        driver loop would serialize that into every commit. Above
+        ``_HARVEST_DRIVER_MAX_FILES`` the per-file extraction fans out as
+        one tiny Spark job over the file list (executors read footers in
+        parallel, return one small stats dict per file — manifest-style
+        metadata, never data), and only the per-bucket combine runs on the
+        driver. The combine is order-independent (sums + min/max widening +
+        no-stats-column union), so both paths are byte-identical — asserted
+        by ``tests/test_zone_maps.py``."""
+        pairs: list[tuple[str, str]] = []
+        for b, dirs in written.items():
+            for d in dirs:
+                for fn in sorted(os.listdir(d)):
+                    if not fn.startswith((".", "_")) and fn.endswith(".parquet"):
+                        pairs.append((b, os.path.join(d, fn)))
+        if len(pairs) <= self._HARVEST_DRIVER_MAX_FILES:
+            per_file = [(b, _stat_parquet_file(p)) for b, p in pairs]
+        else:
+            sc = self.spark.sparkContext
+            n_slices = max(1, min(len(pairs) // 8, sc.defaultParallelism * 4))
+            per_file = (
+                sc.parallelize(pairs, n_slices)
+                .map(lambda bp: (bp[0], _stat_parquet_file(bp[1])))
+                .collect()
+            )
+        grouped: dict[str, list[dict]] = {b: [] for b in written}
+        for b, st in per_file:
+            grouped[b].append(st)
+        return {b: _combine_file_stats(sts) for b, sts in grouped.items()}
 
     def write(
         self,
@@ -564,6 +623,7 @@ class LakeTable:
             bucket_stats = wstats
             total = n_new
             deltas = {}  # full refresh folds/discards all MoR deltas
+            delta_stats = {}
         elif mode == "append":
             buckets = {k: list(v) for k, v in m["buckets"].items()}
             bucket_stats = {k: dict(v) for k, v in m.get("bucket_stats", {}).items()}
@@ -580,12 +640,24 @@ class LakeTable:
                     self._merge_zones(bs.get("zones"), nz) if had_prior else nz
                 )
             deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+            delta_stats = {k: dict(v) for k, v in m.get("delta_stats", {}).items()}
             prev_total = m["summary"].get("total_rows", 0)
             total = None if prev_total is None else prev_total + n_new
         else:
             raise ValueError(f"unknown write mode {mode!r}")
 
         new_m = dict(m)
+        # changelog-retention bookkeeping (see read_changes): an overwrite
+        # breaks incremental history entirely; an append adds LSN-less rows
+        # the changelog can never surface — record which, so read_changes
+        # can refuse to be silently wrong
+        if mode == "overwrite":
+            new_m["changelog_min_version"] = version
+            new_m["changelog_min_reason"] = "write(mode='overwrite') full refresh"
+        else:
+            new_m["bulk_write_versions"] = sorted(
+                set(int(v) for v in m.get("bulk_write_versions", [])) | {version}
+            )
         new_m.update(
             version=version,
             snapshot_id=uuid.uuid4().hex,
@@ -595,6 +667,7 @@ class LakeTable:
             schema=json.loads(new_schema.json()),
             buckets=buckets,
             deltas=deltas,
+            delta_stats=delta_stats,
             bucket_stats=bucket_stats,
             lsn_watermark=self._advance_watermark(m, wstats),
             summary={"total_rows": total, "operation": mode, "rows_written": n_new},
@@ -616,8 +689,11 @@ class LakeTable:
             committed_epochs=[],
             buckets={},
             deltas={},
+            delta_stats={},
             bucket_stats={},
             lsn_watermark=None,
+            changelog_min_version=m["version"] + 1,
+            changelog_min_reason="truncate()",
             summary={"total_rows": 0, "operation": "truncate"},
             lineage=[],
         )
@@ -740,7 +816,11 @@ class LakeTable:
         buckets.update(written)  # carry forward untouched buckets, swap affected
         # a key's delta rows share its bucket, so rewriting a bucket FOLDS its
         # deltas (the target read above already reduced them in); drop them
+        # and their zone stats
         deltas = {k: list(v) for k, v in m.get("deltas", {}).items() if int(k) not in set(affected)}
+        delta_stats = {
+            k: dict(v) for k, v in m.get("delta_stats", {}).items() if k in deltas
+        }
 
         # incremental live-row accounting from manifest bucket stats — no
         # scan of historical data (fallback scan only for pre-stats tables)
@@ -763,6 +843,7 @@ class LakeTable:
             schema=json.loads(new_schema.json()),
             buckets=buckets,
             deltas=deltas,
+            delta_stats=delta_stats,
             bucket_stats=bucket_stats,
             lsn_watermark=self._advance_watermark(m, wstats),
             summary={
@@ -815,8 +896,20 @@ class LakeTable:
         _t_write = time.time()
 
         deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        # delta zone maps widen across delta commits exactly like append's
+        # base zones; a bucket whose existing deltas predate delta_stats
+        # tracking has unknown zones, and _merge_zones(None, x) poisons the
+        # union to {} so it can never prune
+        delta_stats = {k: dict(v) for k, v in m.get("delta_stats", {}).items()}
         for b, dlist in written.items():
+            had_prior = bool(deltas.get(b))
             deltas.setdefault(b, []).extend(dlist)
+            nz = wstats[b].get("zones", {})
+            if had_prior:
+                prior = (delta_stats.get(b) or {}).get("zones")
+                delta_stats[b] = {"zones": self._merge_zones(prior, nz)}
+            else:
+                delta_stats[b] = {"zones": nz}
 
         new_m = dict(m)
         new_m.update(
@@ -827,6 +920,7 @@ class LakeTable:
             committed_epochs=_merge_epochs(m.get("committed_epochs", []), epoch_id),
             schema=json.loads(new_schema.json()),
             deltas=deltas,
+            delta_stats=delta_stats,
             lsn_watermark=self._advance_watermark(m, wstats),
             summary={
                 "operation": "merge",
@@ -1027,8 +1121,13 @@ class LakeTable:
         """Rewrite every bucket's dirs into one snapshot (small-file cleanup).
 
         ``drop_tombstones=True`` also reclaims delete tombstones — only safe
-        once no replay older than the tombstones' LSNs can arrive (the
-        checkpoint horizon has passed them)."""
+        once (a) no replay older than the tombstones' LSNs can arrive (the
+        checkpoint horizon has passed them), AND (b) no changelog consumer's
+        ``since_version`` predates the deletes, since the delete events are
+        physically removed. (b) is enforced: the commit advances
+        ``changelog_min_version``, so a stale ``read_changes`` raises
+        instead of silently losing deletes — tombstones must outlive the
+        oldest ``since_version`` consumers may still use."""
         m = self.manifest()
         df = self.read(include_system=True)
         if drop_tombstones:
@@ -1036,18 +1135,99 @@ class LakeTable:
         version = m["version"] + 1
         written, wstats, n, n_live = self._write_snapshot_data(df, version, m["n_buckets"])
         new_m = dict(m)
+        if drop_tombstones:
+            new_m["changelog_min_version"] = version
+            new_m["changelog_min_reason"] = "compact(drop_tombstones=True) removed delete events"
         new_m.update(
             version=version,
             snapshot_id=uuid.uuid4().hex,
             parent=m["snapshot_id"],
             buckets=written,
             deltas={},  # the read above reduced deltas into the rewrite
+            delta_stats={},
             bucket_stats=wstats,
             lsn_watermark=self._advance_watermark(m, wstats),
             summary={"operation": "compact", "total_rows": n_live, "rows_written": n},
         )
         self._publish(new_m)
         return new_m["summary"]
+
+
+def _stat_parquet_file(path: str) -> dict:
+    """Footer stats for ONE parquet file: row count from metadata, delete
+    count from a read of only the ``_deleted`` column (RLE booleans,
+    ~KBs/file), and per-column zone min/max over every row group for scalar
+    int/float/bool/string columns. Columns with missing/unusable statistics
+    are returned in ``nostat`` so the combiner can drop them table-wide
+    (conservative: no pruning on them). Module-level + self-contained so it
+    ships cleanly to executors for the distributed harvest."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    rows = md.num_rows
+    deleted = 0
+    zones: dict[str, list] = {}
+    nostat: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in nostat or (
+                name.startswith("_") and name != LSN_COL
+            ):
+                # nested / system / known-unusable (the _lsn zone stays:
+                # it drives changelog bucket pruning)
+                continue
+            st = col.statistics
+            ok = (
+                st is not None
+                and st.has_min_max
+                and isinstance(st.min, (int, float, str, bool))
+                and isinstance(st.max, (int, float, str, bool))
+            )
+            if not ok:
+                nostat.add(name)
+                zones.pop(name, None)
+                continue
+            z = zones.get(name)
+            if z is None:
+                zones[name] = [st.min, st.max]
+            else:
+                z[0] = min(z[0], st.min)
+                z[1] = max(z[1], st.max)
+    if rows and DELETED_COL in pf.schema_arrow.names:
+        col = pf.read(columns=[DELETED_COL]).column(DELETED_COL)
+        deleted = int(pc.sum(pc.cast(pc.fill_null(col, False), "int64")).as_py() or 0)
+    return {"rows": rows, "deleted": deleted, "zones": zones, "nostat": sorted(nostat)}
+
+
+def _combine_file_stats(file_stats: list[dict]) -> dict:
+    """Merge per-file stats into the bucket-level manifest entry. Order-
+    independent by construction: row/delete counts sum, zone ranges widen
+    via min/max, and any column lacking stats in ANY file is dropped
+    (a column absent from a file's SCHEMA entirely is fine — its rows read
+    as NULL there, and NULL comparisons are UNKNOWN under every pruning
+    operator, so the other files' range remains a safe bound)."""
+    rows = sum(s["rows"] for s in file_stats)
+    deleted = sum(s["deleted"] for s in file_stats)
+    dead: set[str] = set()
+    for s in file_stats:
+        dead.update(s["nostat"])
+    zones: dict[str, list] = {}
+    for s in file_stats:
+        for name, (lo, hi) in s["zones"].items():
+            if name in dead:
+                continue
+            z = zones.get(name)
+            if z is None:
+                zones[name] = [lo, hi]
+            else:
+                z[0] = min(z[0], lo)
+                z[1] = max(z[1], hi)
+    return {"rows": rows, "live": rows - deleted, "zones": zones}
 
 
 def _reduce_latest(df: DataFrame, key: str) -> DataFrame:

@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> dict:
         "changelog (upserts + delete tombstones) past table VERSION's LSN "
         "watermark, and exit",
     )
+    p.add_argument(
+        "--changes-on-bulk", choices=["error", "ignore"], default="error",
+        help="changelog windows spanning a bulk-append commit raise by "
+        "default (backfilled rows carry no LSN and cannot surface); "
+        "'ignore' opts into the documented merge-only view",
+    )
     args = p.parse_args(argv)
 
     if args.workdir:
@@ -85,7 +91,7 @@ def main(argv: list[str] | None = None) -> dict:
     if args.changes_since is not None:
         if not table.exists():
             p.error(f"no lake table at {args.table}")
-        ch = table.read_changes(args.changes_since)
+        ch = table.read_changes(args.changes_since, on_bulk=args.changes_on_bulk)
         n_del = ch.filter("_deleted").count()
         out = {
             "mode": "changes",

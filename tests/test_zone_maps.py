@@ -41,6 +41,19 @@ def test_zones_recorded_with_correct_global_range(table):
     assert min(mins) == 0 and max(maxs) == 199
 
 
+def test_distributed_harvest_identical_to_driver_serial(table, spark, monkeypatch):
+    """The executor-side footer harvest (commit path, large epochs) must be
+    byte-identical to the driver-serial reference on the same files."""
+    m = table.manifest()
+    written = {b: list(dl) for b, dl in m["buckets"].items()}
+    serial = {b: LakeTable._file_stats(dl) for b, dl in written.items()}
+    monkeypatch.setattr(LakeTable, "_HARVEST_DRIVER_MAX_FILES", 0)  # force the job path
+    distributed = table._harvest_stats(written)
+    assert distributed == serial
+    # and the stats the ORIGINAL commit recorded match both
+    assert {b: m["bucket_stats"][b] for b in written} == serial
+
+
 def test_pruning_excludes_provably_empty_buckets(table):
     m = table.manifest()
     # out-of-range predicate -> every bucket provably empty
@@ -72,7 +85,7 @@ def test_append_widens_zones(table, spark):
     assert table._pruned_buckets(table.manifest(), "n_tok = 100") == set()
 
 
-def test_mor_delta_buckets_are_never_pruned(table, spark):
+def test_mor_delta_bucket_survives_pruning_when_delta_matches(table, spark):
     batch = spark.createDataFrame(
         [("k0", [7], 7000, "src", "U", 10_000)],
         "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
@@ -82,11 +95,69 @@ def test_mor_delta_buckets_are_never_pruned(table, spark):
     delta_buckets = set(m["deltas"].keys())
     assert delta_buckets
     # n_tok = 7000 is outside every BASE zone, but the delta bucket must
-    # survive pruning (its delta holds the matching row)
+    # survive pruning (its DELTA zones cover 7000)
     pruned = table._pruned_buckets(m, "n_tok = 7000")
     assert pruned.isdisjoint(delta_buckets)
     got = {r.doc_id for r in table.read(where="n_tok = 7000").collect()}
     assert got == {"k0"}
+
+
+def test_mor_delta_bucket_prunes_when_base_and_delta_both_miss(table, spark):
+    """Round-4 directive #6: a delta-carrying bucket prunes when base AND
+    delta zones provably miss, and MoR reads stay equal to the unpruned
+    filter."""
+    batch = spark.createDataFrame(
+        [("k0", [7], 150, "src", "U", 10_000)],  # in-band update, zones stay ≤ 199-ish
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+    table.merge(batch, epoch_id=99, lsn_col="lsn", op_col="op", strategy="mor")
+    m = table.manifest()
+    delta_buckets = set(m["deltas"].keys())
+    assert delta_buckets and m.get("delta_stats")
+    # predicate outside BOTH base (0..199) and delta (150) zones -> every
+    # bucket, delta-carrying ones included, provably misses
+    pruned = table._pruned_buckets(m, "n_tok > 5000")
+    assert delta_buckets <= pruned
+    assert pruned == set(m["buckets"]) | delta_buckets
+    # correctness: pruned read == unpruned filter, on both sides of the zone
+    full = table.read()
+    for where in ("n_tok > 5000", "n_tok = 150", "n_tok <= 10"):
+        got = sorted(r.doc_id for r in table.read(where=where).collect())
+        exp = sorted(r.doc_id for r in full.filter(where).collect())
+        assert got == exp, where
+    # a second delta commit WIDENS the delta zones
+    batch2 = spark.createDataFrame(
+        [("k1", [8], 6000, "src", "U", 10_001)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+    table.merge(batch2, epoch_id=100, lsn_col="lsn", op_col="op", strategy="mor")
+    m2 = table.manifest()
+    b_k1 = [b for b, s in m2["delta_stats"].items() if s["zones"].get("n_tok", [0, 0])[1] == 6000]
+    assert b_k1
+    assert b_k1[0] not in table._pruned_buckets(m2, "n_tok = 6000")
+    got = {r.doc_id for r in table.read(where="n_tok = 6000").collect()}
+    assert got == {"k1"}
+
+
+def test_mor_delta_without_stats_never_prunes(table, spark):
+    """Delta dirs from manifests written before delta-zone tracking have
+    unknown zones and must never prune (conservative)."""
+    import json as _json
+
+    batch = spark.createDataFrame(
+        [("k0", [7], 150, "src", "U", 10_000)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+    table.merge(batch, epoch_id=99, lsn_col="lsn", op_col="op", strategy="mor")
+    m = table.manifest()
+    # simulate a pre-tracking manifest: strip delta_stats
+    mpath = table._manifest_path(m["version"])
+    m.pop("delta_stats", None)
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    pruned = table._pruned_buckets(table.manifest(), "n_tok > 5000")
+    assert pruned.isdisjoint(set(m["deltas"]))
+    assert table.read(where="n_tok > 5000").count() == 0
 
 
 def _batch(spark, rows):
@@ -128,22 +199,59 @@ def test_changelog_mor_and_bulk_rows_excluded(spark, tmp_path):
         epoch_id=0, lsn_col="lsn", op_col="op",
     )
     v1 = t.manifest()["version"]
-    # bulk-written rows carry no LSN -> never surface in the changelog
+    # bulk-written rows carry no LSN -> can never surface in the changelog,
+    # so a window spanning the bulk append RAISES by default (round-4
+    # directive #5: no silently-missed backfills)...
     t.write(_rows(spark, 500, 505), mode="append")
+    with pytest.raises(ValueError, match="bulk-append"):
+        t.read_changes(v1)
     # MoR epoch: delta-only change still surfaces through the reduce
     t.merge(
         _batch(spark, [("k2", [7], 777, "s", "U", 50)]),
         epoch_id=1, lsn_col="lsn", op_col="op", strategy="mor",
     )
-    got = {r.doc_id: r.n_tok for r in t.read_changes(v1).collect()}
+    # ...and on_bulk='ignore' opts into the documented merge-only view
+    got = {r.doc_id: r.n_tok for r in t.read_changes(v1, on_bulk="ignore").collect()}
     assert got == {"k2": 777}
+    # a window STARTING at/after the bulk commit is clean — no raise
+    v_bulk = t.manifest()["bulk_write_versions"][-1]
+    assert t.read_changes(v_bulk).count() == 1
     # compaction folds deltas but must not regress the watermark or
     # resurrect pre-watermark rows in the changelog
     wm_before = t.manifest()["lsn_watermark"]
     t.compact()
     assert t.manifest()["lsn_watermark"] == wm_before
-    got2 = {r.doc_id: r.n_tok for r in t.read_changes(v1).collect()}
+    got2 = {r.doc_id: r.n_tok for r in t.read_changes(v1, on_bulk="ignore").collect()}
     assert got2 == {"k2": 777}
+
+
+def test_changelog_retention_contract_on_history_breaks(spark, tmp_path):
+    """ADVICE r4: overwrite / truncate / tombstone-dropping compaction
+    advance changelog_min_version; stale incremental reads raise instead of
+    silently losing delete events."""
+    t = LakeTable(spark, str(tmp_path / "cl4")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    t.merge(
+        _batch(spark, [(f"k{i}", [i], i, "s", "I", i + 1) for i in range(6)]),
+        epoch_id=0, lsn_col="lsn", op_col="op",
+    )
+    v1 = t.manifest()["version"]
+    t.merge(
+        _batch(spark, [("k1", None, None, "s", "D", 100)]),
+        epoch_id=1, lsn_col="lsn", op_col="op",
+    )
+    # before the drop: the delete surfaces as a tombstone
+    assert {r.doc_id for r in t.read_changes(v1).collect()} == {"k1"}
+    t.compact(drop_tombstones=True)
+    v_compact = t.manifest()["version"]
+    # after the drop: reading across the break must raise, not lose "k1"
+    with pytest.raises(ValueError, match="predates"):
+        t.read_changes(v1)
+    # restarting the changelog from the break is fine
+    assert t.read_changes(v_compact).count() == 0
+    # overwrite breaks history too
+    t.write(_rows(spark, 0, 3), mode="overwrite")
+    with pytest.raises(ValueError, match="predates"):
+        t.read_changes(v_compact)
 
 
 def test_changelog_surfaces_evolved_columns(spark, tmp_path):
