@@ -663,21 +663,43 @@ def _q_embed_lsh_ann(spark, sf):
 _IVF_INDEX: dict = {}
 
 
-def _q_embed_ivf_ann(spark, sf):
-    # centroid table + assigned corpus ARE the IVF index — a build-once
-    # artifact (offline k-means + one assignment pass at scale, written to
-    # the lake). Memoize per (session, corpus): the first call pays the
-    # build, every later call runs only the probe equi-join search.
-    emb = _t(spark, sf, "embeddings")
-    key = (id(spark), sf, 8)
+def _ivf_index_for(spark, sf, kind: str):
+    """Memoized build-once IVF index per (session, corpus, centroid
+    source). The centroid table + assigned corpus ARE the index — a
+    build-once artifact (offline k-means + one assignment pass at scale,
+    written to the lake); the first call pays the build, every later call
+    runs only the probe equi-join search.
+
+    Keying discipline (advisor r4): the key uses ``applicationId`` — a
+    ``id(spark)`` key can be RECYCLED after an old session is GC'd, serving
+    an index bound to a dead session. Entries from any other application are
+    evicted (and their persisted frames released defensively) on access, so
+    the cache never pins more than the live session's indexes."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf, kind)
+    for k in [k for k in _IVF_INDEX if k[0] != app]:
+        _cen, old_asg = _IVF_INDEX.pop(k)
+        try:
+            old_asg.unpersist(False)
+        except Exception:
+            pass  # the owning session is gone; nothing to release
     idx = _IVF_INDEX.get(key)
     if idx is None:
-        cen = ANN.ivf_centroid_array(emb, 8)
+        emb = _t(spark, sf, "embeddings")
+        if kind == "trained":
+            cen = ANN.ivf_train_centroids(emb, n_centroids=8, n_iter=5)
+        else:
+            cen = ANN.ivf_centroid_array(emb, 8)
         # lazy persist: the first search materializes the inverted lists
         # (it reads every index partition anyway), later searches hit cache
         asg = ANN.ivf_assign(emb, cen).persist()
         idx = _IVF_INDEX[key] = (cen, asg)
-    cen, asg = idx
+    return idx
+
+
+def _ivf_search(spark, sf, kind: str):
+    emb = _t(spark, sf, "embeddings")
+    cen, asg = _ivf_index_for(spark, sf, kind)
     q = emb.filter(F.col("vec_id") < 20)
     return ANN.ivf_topk(q, emb, k=5, nprobe=2, centroids=cen, assigned=asg).select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -687,12 +709,28 @@ def _q_embed_ivf_ann(spark, sf):
     )
 
 
+def _q_embed_ivf_ann(spark, sf):
+    return _ivf_search(spark, sf, "seeded")
+
+
 def _q_embed_ivf_ann_warm(spark, sf):
     """Steady-state IVF search: the identical query against the
     already-built (memoized) index — the serving-path cost. The
     ``embed_ivf_ann`` entry charges the one-time index build; this one
     measures what every subsequent query pays."""
     return _q_embed_ivf_ann(spark, sf)
+
+
+def _q_embed_ivf_trained(spark, sf):
+    """IVF search over SPHERICAL-K-MEANS-TRAINED centroids
+    (`ann.ivf_train_centroids`: distributed partial-sum Lloyd iterations,
+    corpus never shuffles) — the quality upgrade over the seeded index.
+    No SQL oracle: the trainer's float summation order follows the Arrow
+    batch layout, which DuckDB cannot replicate bit-for-bit; the driver
+    records the rows-only check, and `tests/test_text_clean_ivf.py`
+    asserts trained recall ≥ seeded recall against the exact
+    `cosine_topk` ground truth (recall rows in BENCH/BASELINE.md)."""
+    return _ivf_search(spark, sf, "trained")
 
 
 # ---------------------------------------------------------------------------
@@ -739,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann": _q_embed_lsh_ann,
         "embed_ivf_ann": _q_embed_ivf_ann,
         "embed_ivf_ann_warm": _q_embed_ivf_ann_warm,
+        "embed_ivf_trained": _q_embed_ivf_trained,
         "vocab_top_terms": _q_vocab_top_terms,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "text_normalize_redact": _q_text_normalize_redact,
@@ -799,7 +838,10 @@ def _lsh_bucket_sql(table_alias: str, n_bits: int = 4, j0: int = 0) -> str:
     terms = []
     for jj in range(n_bits):
         j = j0 + jj
-        w = f"list_transform(range(64), d -> (((1103515245*(d + {31 * j}) + 12345) % 2001) - 1000)::DOUBLE)"
+        # w(d,j) = ((k*k)//2048) % 2001 - 1000, k = (a*(d+64j)+c) mod 2^31 —
+        # the quadratic-mix family of ann._hyperplane_weight (int64-exact)
+        k = f"((1103515245*(d + {64 * j}) + 12345) % 2147483648)"
+        w = f"list_transform(range(64), d -> (((({k} * {k}) // 2048) % 2001) - 1000)::DOUBLE)"
         terms.append(f"(case when list_dot_product({table_alias}.v, {w}) > 0 then {1 << jj} else 0 end)")
     return " + ".join(terms)
 

@@ -48,6 +48,7 @@ HEADLINE = [
     "embed_lsh_ann",
     "embed_ivf_ann",
     "embed_ivf_ann_warm",
+    "embed_ivf_trained",
     "vocab_top_terms",
     "tfidf_top_terms",
     "range_value_bands",

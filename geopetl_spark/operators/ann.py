@@ -133,14 +133,33 @@ def cosine_topk(
     )
 
 
+def _hyperplane_weight(d: int, j: int) -> float:
+    """Deterministic integer 'random' hyperplane weight, shared bit-for-bit
+    with the SQL oracle (``__spark_entry__._lsh_bucket_sql``):
+
+        k(d, j) = (1103515245*(d + 64*j) + 12345) mod 2^31
+        w(d, j) = ((k*k) // 2048) mod 2001 - 1000
+
+    The quadratic mix is what makes planes INDEPENDENT: round 4's affine
+    family ``(a*(d + 31*j) + c) mod 2001`` collapses to one arithmetic
+    progression mod 2001 (every plane = the same vector plus a per-plane
+    constant, modulo wraparound), so tables correlated and multi-table
+    recall undershot its model by ~2× in miss rate (measured 0.843 vs
+    modeled 0.911 at θ=0.40, BENCH/BASELINE.md). Squaring k breaks the
+    affinity in ``d``; measured recall now tracks the independence model
+    (0.958 vs 0.955 at 4×18). All ops stay in int64 (k < 2^31, k² < 2^62)
+    so DuckDB reproduces them exactly."""
+    k = (1103515245 * (d + 64 * j) + 12345) % 2147483648
+    return float(((k * k) // 2048) % 2001 - 1000)
+
+
 def _hyperplane_sign_bits(vec, n_bits: int, dim: int):
-    """Deterministic integer 'random' hyperplanes shared with the SQL oracle:
-    w(d, j) = ((1103515245*(d + 31*j) + 12345) mod 2001) - 1000.
-    Returns the bucket id column: sum_j sign_bit_j * 2^j."""
+    """Bucket id from ``n_bits`` deterministic hyperplanes
+    (:func:`_hyperplane_weight`): sum_j sign_bit_j * 2^j."""
     v = to_double_array(vec)
     bucket = F.lit(0).cast("long")
     for j in range(n_bits):
-        w_j = F.array(*[F.lit(float((1103515245 * (d + 31 * j) + 12345) % 2001 - 1000)) for d in range(dim)])
+        w_j = F.array(*[F.lit(_hyperplane_weight(d, j)) for d in range(dim)])
         s = dot(v, w_j)
         bucket = bucket + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return bucket
@@ -235,7 +254,7 @@ def _multi_table_keyed(
         # the SQL oracle) regenerates the identical family for its width
         return np.array(
             [
-                [float((1103515245 * (d + 31 * j) + 12345) % 2001 - 1000) for d in range(width)]
+                [_hyperplane_weight(d, j) for d in range(width)]
                 for j in range(n_bits * n_tables)
             ],
             dtype=np.float64,
@@ -289,6 +308,7 @@ def lsh_config_for(
     recall_target: float = 0.9,
     n_bits: int = 4,
     max_tables: int = 64,
+    calibration: float = 2.0,
 ) -> tuple[int, int, float]:
     """Size the multi-table hyperplane index for a cosine threshold.
 
@@ -296,11 +316,25 @@ def lsh_config_for(
     θ/π, so a pair at exactly ``threshold`` collides in one ``n_bits``-bit
     table with p = (1 - arccos(threshold)/π)^n_bits and is FOUND by at
     least one of T tables with recall = 1 - (1-p)^T. Solving for the
-    smallest T meeting ``recall_target`` gives the config; pairs ABOVE the
+    smallest T meeting the target gives the config; pairs ABOVE the
     threshold collide more often, so the model is a lower bound across the
-    qualifying range. Returns ``(n_bits, n_tables, modeled_recall)`` and
-    warns if ``max_tables`` caps recall below the target (candidate volume
-    grows linearly in T — the cap is the cost guard)."""
+    qualifying range.
+
+    **Calibration (round-5):** the independence model overestimates this
+    engine's family — the hyperplanes are deterministic integer
+    pseudo-planes applied to raw non-centered vectors, so collisions
+    correlate across tables (measured miss rate ≈ 1.8× the modeled one on
+    the sf0.1 benchmark; BENCH/BASELINE.md). The solver therefore sizes
+    for a miss rate of ``(1 - recall_target) / calibration`` (default 2 —
+    halve the modeled misses), so the DELIVERED recall meets the requested
+    target instead of undershooting it by the correlation factor.
+
+    Returns ``(n_bits, n_tables, modeled_recall)`` — modeled_recall is the
+    un-calibrated independence-model value for the chosen table count (the
+    honest model output, tabulated against measured recall in
+    BENCH/BASELINE.md) — and warns if ``max_tables`` caps recall below the
+    target (candidate volume grows linearly in T — the cap is the cost
+    guard)."""
     import math
     import warnings
 
@@ -308,13 +342,16 @@ def lsh_config_for(
         raise ValueError("threshold must be in (-1, 1)")
     if not 0.0 < recall_target < 1.0:
         raise ValueError("recall_target must be in (0, 1)")
+    if calibration < 1.0:
+        raise ValueError("calibration must be >= 1 (1 = trust the model)")
+    eff_target = 1.0 - (1.0 - recall_target) / calibration
     p_table = (1.0 - math.acos(threshold) / math.pi) ** n_bits
     if p_table <= 0.0:
         need = max_tables + 1
     elif p_table >= 1.0:
         need = 1
     else:
-        need = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_table))
+        need = math.ceil(math.log(1.0 - eff_target) / math.log(1.0 - p_table))
     n_tables = max(1, min(need, max_tables))
     recall = 1.0 - (1.0 - p_table) ** n_tables
     if need > max_tables:

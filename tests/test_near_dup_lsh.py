@@ -78,9 +78,13 @@ def test_planted_near_dup_recall_high_threshold(spark):
 def test_auto_config_is_sized_from_threshold():
     """Defaults must SOLVE the collision model for the recall target, not
     ship one fixed config: aggressive (low) thresholds buy more tables."""
-    assert ANN.lsh_config_for(0.4)[:2] == (4, 14)
-    assert ANN.lsh_config_for(0.9)[:2] == (4, 3)
-    assert ANN.lsh_config_for(0.25)[:2] == (4, 20)
+    # round-5 calibrated solver: sized for HALF the modeled miss rate, so
+    # delivered recall meets the target despite cross-table correlation
+    assert ANN.lsh_config_for(0.4)[:2] == (4, 18)
+    assert ANN.lsh_config_for(0.9)[:2] == (4, 4)
+    assert ANN.lsh_config_for(0.25)[:2] == (4, 25)
+    # calibration=1 reproduces the uncalibrated round-4 sizing
+    assert ANN.lsh_config_for(0.4, calibration=1.0)[:2] == (4, 14)
     for thr in (0.25, 0.4, 0.9):
         _, _, recall = ANN.lsh_config_for(thr)
         assert recall >= 0.9
@@ -130,6 +134,20 @@ def test_ngram_broadcast_hint_auto_on_small_and_off_when_forced(spark, sf_dir):
     got_on = sorted((r.id_a, r.id_b, r.jaccard) for r in on.collect())
     got_off = sorted((r.id_a, r.id_b, r.jaccard) for r in off.collect())
     assert got_on == got_off and len(got_on) > 0
+
+
+def test_small_relation_public_fallback(spark, sf_dir, monkeypatch):
+    """Round-4 directive: when the private Catalyst plan-stats bridge is
+    unavailable (Spark upgrade), the probe falls back to public
+    inputFiles() sizes — still auto-on for a small parquet relation and
+    auto-off at a tiny threshold — instead of silently disabling hints."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    monkeypatch.setattr(DD, "_plan_stats_size_bytes", lambda df: None)
+    assert DD._small_relation(docs, 128 * 1024 * 1024) is True
+    assert DD._small_relation(docs, 1) is False
+    # no input files (in-memory relation) -> conservative False
+    mem = spark.createDataFrame([(1,)], "x int")
+    assert DD._small_relation(mem, 128 * 1024 * 1024) is False
 
 
 def test_components_string_ids(spark):

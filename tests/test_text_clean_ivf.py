@@ -144,3 +144,43 @@ def test_ivf_train_centroids_improves_objective_and_is_deterministic(spark, emb)
     out = ANN.ivf_topk(q, emb, k=5, nprobe=2, centroids=t1)
     assert out.count() == 50
     assert out.columns == ["query_id", "neighbor_id", "similarity", "rank"]
+
+
+def test_ivf_trained_recall_vs_seeded_and_entry_serves_it(spark, emb, sf_dir):
+    """Round-4 directive #3: the trained index is measured against the
+    exact cosine_topk ground truth and SERVED by the entry. On isotropic
+    synthetic vectors trained centroids improve the clustering objective
+    (asserted above) but recall at fixed nprobe is statistically flat —
+    the guard here is 'no regression' plus an absolute floor; the honest
+    numbers live in BENCH/BASELINE.md (tools/measure_ivf_recall.py)."""
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id) for r in ANN.cosine_topk(q, emb, k=5).collect()}
+
+    def recall(cen):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ANN.ivf_topk(q, emb, k=5, nprobe=2, centroids=cen).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed = recall(ANN.ivf_centroid_array(emb, 8))
+    r_train = recall(ANN.ivf_train_centroids(emb, n_centroids=8, n_iter=5))
+    assert r_train >= 0.5, (r_train, r_seed)
+    assert r_train >= r_seed - 0.1, (r_train, r_seed)
+
+    # the serving entry exercises trained centroids end-to-end and memoizes
+    # the index under the (applicationId, sf, 'trained') key
+    import __spark_entry__ as entry
+
+    out = entry.queries()["embed_ivf_trained"](spark, sf_dir)
+    assert out.columns == ["query_id", "neighbor_id", "similarity", "rank"]
+    assert out.count() == 100
+    app = spark.sparkContext.applicationId
+    assert (app, sf_dir, "trained") in entry._IVF_INDEX
+    # eviction discipline: a stale foreign-session entry is purged on access
+    cen, asg = entry._IVF_INDEX[(app, sf_dir, "trained")]
+    entry._IVF_INDEX[("dead-app", sf_dir, "seeded")] = (cen, asg)
+    entry._ivf_index_for(spark, sf_dir, "trained")
+    assert ("dead-app", sf_dir, "seeded") not in entry._IVF_INDEX
+    for k in list(entry._IVF_INDEX):
+        entry._IVF_INDEX.pop(k)[1].unpersist(False)
