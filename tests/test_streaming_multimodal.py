@@ -74,8 +74,9 @@ def test_decode_images_stub(blobs):
     out = {r["id"]: r for r in MM.decode_images(blobs).collect()}
     assert (out[1]["width"], out[1]["height"]) == (32, 16)
     assert out[1]["decode_error"] is None and out[1]["mean_pixel"] > 0
-    # real codec: captured error, row survives (poisoned blob doesn't kill partition)
-    assert out[3]["width"] is None and "codecs" in out[3]["decode_error"]
+    # PNG magic with garbage chunks: captured error, row survives
+    # (poisoned blob doesn't kill the partition)
+    assert out[3]["width"] is None and out[3]["decode_error"].startswith("ValueError")
     assert out[4]["decode_error"] is not None
 
 
