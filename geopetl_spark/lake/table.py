@@ -354,10 +354,13 @@ class LakeTable:
         directories of requested buckets are scanned — the engine's own
         partition pruning, independent of (and additive to) parquet
         row-group stats on ``_bucket``. ``where=`` additionally applies
-        **zone-map data skipping**: per-bucket column min/max harvested from
-        parquet footers at write time prune buckets a simple range/equality
-        conjunction provably cannot match (the filter itself always still
-        runs — pruning only removes provably-empty scans).
+        **zone-map data skipping** at two granularities: per-bucket column
+        min/max prune whole buckets a simple range/equality conjunction
+        provably cannot match, and — on tables with no MoR deltas — per-DIR
+        zones prune individual append-accumulated directories inside
+        surviving buckets (the union range is wide, the dirs narrow). The
+        filter itself always still runs — pruning only removes
+        provably-empty scans.
 
         Merge-on-read: when the manifest carries delta dirs for the selected
         buckets, base and delta rows are unioned and reduced per key via
@@ -366,10 +369,31 @@ class LakeTable:
         """
         m = self.manifest(version)
         skip = self._pruned_buckets(m, where)
+        # per-DIR pruning within surviving buckets (Iceberg prunes per file
+        # for the same reason): an append-heavy bucket's UNION zone range is
+        # wide even when each dir is narrow. Only sound when the table holds
+        # no MoR deltas — with deltas, the read-time reduce makes rows
+        # interdependent (dropping a dir could change which version of a
+        # key survives the max_by); without them rows are independent and a
+        # dir whose zones provably miss contributes nothing to the filter.
+        preds = (
+            self._parse_zone_preds(where)
+            if where and not m.get("deltas")
+            else None
+        )
+        stats = m.get("bucket_stats") or {}
         dirs: list[str] = []
         for b, dlist in m["buckets"].items():
             if (buckets is None or int(b) in set(buckets)) and b not in skip:
-                dirs.extend(dlist)
+                if preds:
+                    dz = (stats.get(b) or {}).get("dirs") or {}
+                    dirs.extend(
+                        d
+                        for d in dlist
+                        if not (dz.get(d) and not self._zones_may_match(dz[d], preds))
+                    )
+                else:
+                    dirs.extend(dlist)
         delta_dirs: list[str] = []
         for b, dlist in m.get("deltas", {}).items():
             # skip is all-or-nothing per bucket (base AND delta provably
@@ -455,15 +479,25 @@ class LakeTable:
                 f"merge() with synthetic LSNs, or pass on_bulk='ignore' to "
                 f"read the merge-only changes."
             )
-        wm = self.manifest(since_version).get("lsn_watermark")
+        try:
+            wm = self.manifest(since_version).get("lsn_watermark")
+        except FileNotFoundError:
+            raise ValueError(
+                f"since_version={since_version} has been vacuumed out of the "
+                f"retention window (oldest readable manifest governs "
+                f"changelog resume points — keep vacuum's "
+                f"keep_last_versions above the oldest consumer's lag). "
+                f"Resync from a full snapshot read()."
+            ) from None
         pred = None if wm is None else f"{LSN_COL} > {int(wm)}"
         skip = self._pruned_buckets(m_to, pred)
         all_b = set(m_to["buckets"]) | set(m_to.get("deltas") or {})
         keep = [int(b) for b in all_b if b not in skip]
-        df = self.read(version=to_version, buckets=keep, include_system=True)
-        if wm is not None:
-            df = df.filter(F.col(LSN_COL) > F.lit(int(wm)))
-        else:
+        # passing the watermark predicate through read() additionally
+        # engages per-DIR _lsn-zone pruning inside surviving buckets
+        # (delta-free tables only — read() enforces that)
+        df = self.read(version=to_version, buckets=keep, include_system=True, where=pred)
+        if wm is None:
             df = df.filter(F.col(LSN_COL).isNotNull())
         return df.drop(BUCKET_COL, SEQ_COL)
 
@@ -528,6 +562,11 @@ class LakeTable:
         # footer reads out across executors so the commit path never
         # serializes O(files) metadata reads (see _harvest_stats).
         stats = self._harvest_stats(written)
+        # each snapshot write produces exactly ONE dir per bucket, so the
+        # bucket's harvested zones are also that dir's zones — recorded
+        # per-dir for within-bucket pruning on append-accumulated buckets
+        for b, dlist in written.items():
+            stats[b]["dirs"] = {dlist[0]: stats[b]["zones"]}
         n_rows = sum(v["rows"] for v in stats.values())
         n_live = sum(v["live"] for v in stats.values())
         return written, stats, n_rows, n_live
@@ -639,6 +678,11 @@ class LakeTable:
                 bs["zones"] = (
                     self._merge_zones(bs.get("zones"), nz) if had_prior else nz
                 )
+                # per-dir zones don't widen — each appended dir keeps its
+                # own (that's the point: the union is wide, the dirs narrow)
+                dmap = dict(bs.get("dirs") or {})
+                dmap.update(wstats[b].get("dirs") or {})
+                bs["dirs"] = dmap
             deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
             delta_stats = {k: dict(v) for k, v in m.get("delta_stats", {}).items()}
             prev_total = m["summary"].get("total_rows", 0)
@@ -1099,6 +1143,13 @@ class LakeTable:
             "total_rows": m["summary"].get("total_rows", 0),
             "tombstones": sum(v["rows"] - v["live"] for v in stats.values()) if stats else None,
             "committed_epochs": len(m.get("committed_epochs", [])),
+            # the CDC-out surface a changelog consumer plans against
+            "changelog": {
+                "lsn_watermark": m.get("lsn_watermark"),
+                "min_version": m.get("changelog_min_version"),
+                "min_reason": m.get("changelog_min_reason"),
+                "bulk_write_versions": list(m.get("bulk_write_versions", [])),
+            },
             "properties": m.get("properties", {}),
             "owner": m.get("owner"),
             "privileges": {k: list(v) for k, v in m.get("acl", {}).items()},
@@ -1116,6 +1167,43 @@ class LakeTable:
             .collect()[0]["s"]
             or 0
         )
+
+    def rebucket(self, n_buckets: int) -> dict:
+        """Bucket-count evolution (≈ Iceberg partition-spec evolution): at
+        10^10 rows the create-time bucket count is wrong by definition —
+        CoW rewrite cost per epoch is O(table/n_buckets · touched buckets),
+        so the count must grow with the table. One full rewrite under the
+        new ``pmod(xxhash64(key), n)`` layout; logical state (and therefore
+        ``checksum()``) is unchanged, all zone/dir stats are rebuilt for
+        the new layout, and subsequent merges route by the new count.
+        Run it like compaction: between epochs, versioned, replay-safe."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        m = self.manifest()
+        df = self.read(include_system=True).drop(BUCKET_COL)
+        df = df.withColumn(BUCKET_COL, self._bucket_expr(m["key_col"], n_buckets))
+        version = m["version"] + 1
+        written, wstats, n, n_live = self._write_snapshot_data(df, version, n_buckets)
+        new_m = dict(m)
+        new_m.update(
+            version=version,
+            snapshot_id=uuid.uuid4().hex,
+            parent=m["snapshot_id"],
+            n_buckets=int(n_buckets),
+            buckets=written,
+            deltas={},  # the read above reduced any deltas into the rewrite
+            delta_stats={},
+            bucket_stats=wstats,
+            lsn_watermark=self._advance_watermark(m, wstats),
+            summary={
+                "operation": "rebucket",
+                "total_rows": n_live,
+                "rows_written": n,
+                "n_buckets": int(n_buckets),
+            },
+        )
+        self._publish(new_m)
+        return new_m["summary"]
 
     def compact(self, drop_tombstones: bool = False) -> dict:
         """Rewrite every bucket's dirs into one snapshot (small-file cleanup).

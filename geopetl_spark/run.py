@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> dict:
         "default (backfilled rows carry no LSN and cannot surface); "
         "'ignore' opts into the documented merge-only view",
     )
+    p.add_argument(
+        "--maintain", default=None, metavar="OP",
+        help="maintenance mode: run one table operation and exit — "
+        "'compact', 'compact-drop-tombstones', 'vacuum', or 'rebucket:N' "
+        "(bucket-count evolution; state/checksum unchanged). Run between "
+        "ingest invocations, like any lakehouse maintenance job.",
+    )
     args = p.parse_args(argv)
 
     if args.workdir:
@@ -101,6 +108,23 @@ def main(argv: list[str] | None = None) -> dict:
             "delete_tombstones": n_del,
             "lsn_watermark": table.manifest().get("lsn_watermark"),
         }
+        print(json.dumps(out))
+        return out
+    if args.maintain is not None:
+        if not table.exists():
+            p.error(f"no lake table at {args.table}")
+        op = args.maintain
+        if op == "compact":
+            summary = table.compact()
+        elif op == "compact-drop-tombstones":
+            summary = table.compact(drop_tombstones=True)
+        elif op == "vacuum":
+            summary = table.vacuum()
+        elif op.startswith("rebucket:"):
+            summary = table.rebucket(int(op.split(":", 1)[1]))
+        else:
+            p.error(f"unknown --maintain op {op!r}")
+        out = {"mode": "maintain", "op": op, **summary, "checksum": str(table.checksum())}
         print(json.dumps(out))
         return out
     if not table.exists():

@@ -34,6 +34,36 @@ def _n_data_dirs(t):
     return sum(len(dirs) == 0 for _, dirs, _ in os.walk(root))  # leaf dirs
 
 
+def test_rebucket_preserves_state_and_reroutes_merges(merged_table, spark):
+    """Bucket-count evolution (round-5): one rewrite under the new layout,
+    logical state unchanged, watermark preserved, later merges route by the
+    new count (and an MoR delta folds into the rewrite)."""
+    t = merged_table
+    before = t.checksum()
+    wm = t.manifest()["lsn_watermark"]
+    # leave an unfolded MoR delta so rebucket has to reduce it in
+    delta = spark.createDataFrame(
+        [("k00001", [9], 9, "s", "U", 10_000_000)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+    t.merge(delta, epoch_id=98, lsn_col="lsn", op_col="op", strategy="mor")
+    after_delta = t.checksum()
+    t.rebucket(32)
+    m = t.manifest()
+    assert m["n_buckets"] == 32 and not m["deltas"]
+    assert t.checksum() == after_delta != before
+    assert m["lsn_watermark"] >= wm
+    assert len(m["buckets"]) > 8  # keys actually spread over the new layout
+    # a post-rebucket merge routes by the new bucket expr and stays correct
+    up = spark.createDataFrame(
+        [("k00002", [7], 7, "s", "U", 10_000_001)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+    t.merge(up, epoch_id=99, lsn_col="lsn", op_col="op")
+    got = {r.doc_id: r.n_tok for r in t.read(where="n_tok >= 7").collect() if r.doc_id in ("k00001", "k00002")}
+    assert got == {"k00001": 9, "k00002": 7}
+
+
 def test_compact_preserves_state_and_reduces_dirs(merged_table):
     t = merged_table
     cs = t.checksum()

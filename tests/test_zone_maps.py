@@ -50,8 +50,12 @@ def test_distributed_harvest_identical_to_driver_serial(table, spark, monkeypatc
     monkeypatch.setattr(LakeTable, "_HARVEST_DRIVER_MAX_FILES", 0)  # force the job path
     distributed = table._harvest_stats(written)
     assert distributed == serial
-    # and the stats the ORIGINAL commit recorded match both
-    assert {b: m["bucket_stats"][b] for b in written} == serial
+    # and the stats the ORIGINAL commit recorded match both (modulo the
+    # per-dir zones the commit path adds on top of the harvest)
+    recorded = {
+        b: {k: v for k, v in m["bucket_stats"][b].items() if k != "dirs"} for b in written
+    }
+    assert recorded == serial
 
 
 def test_pruning_excludes_provably_empty_buckets(table):
@@ -83,6 +87,32 @@ def test_append_widens_zones(table, spark):
     assert max(maxs) == 1049
     # the old range is still covered: nothing in [0,200) is prunable
     assert table._pruned_buckets(table.manifest(), "n_tok = 100") == set()
+
+
+def test_per_dir_pruning_within_append_buckets(table, spark):
+    """Round-5 extension: an append-heavy bucket's UNION zones are wide
+    ([0,1049]) so bucket-level pruning is blind, but each DIR keeps its own
+    zones — a predicate inside only one append's range scans only that
+    append's dirs. Results must equal the unpruned filter either way."""
+    table.write(_rows(spark, 1000, 1050), mode="append")
+    all_files = len(table.read().inputFiles())
+    hi = table.read(where="n_tok >= 1000")
+    lo = table.read(where="n_tok < 200")
+    assert 0 < len(hi.inputFiles()) < all_files
+    assert 0 < len(lo.inputFiles()) < all_files
+    assert sorted(r.doc_id for r in hi.collect()) == sorted(f"k{i}" for i in range(1000, 1050))
+    assert sorted(r.doc_id for r in lo.collect()) == sorted(f"k{i}" for i in range(200))
+    # with MoR deltas present anywhere, per-dir pruning turns OFF (the
+    # read-time reduce makes rows interdependent) but results stay right
+    batch = spark.createDataFrame(
+        [("k0", [7], 5, "src", "U", 10_000)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, lsn long",
+    )
+    table.merge(batch, epoch_id=7, lsn_col="lsn", op_col="op", strategy="mor")
+    hi2 = table.read(where="n_tok >= 1000")
+    assert sorted(r.doc_id for r in hi2.collect()) == sorted(f"k{i}" for i in range(1000, 1050))
+    got_k0 = table.read(where="n_tok = 5").collect()
+    assert {r.doc_id for r in got_k0} >= {"k0"}
 
 
 def test_mor_delta_bucket_survives_pruning_when_delta_matches(table, spark):
@@ -252,6 +282,15 @@ def test_changelog_retention_contract_on_history_breaks(spark, tmp_path):
     t.write(_rows(spark, 0, 3), mode="overwrite")
     with pytest.raises(ValueError, match="predates"):
         t.read_changes(v_compact)
+    # a since_version vacuumed out of the retention window (no history
+    # break — just manifest retention) raises a retention error, not a
+    # raw FileNotFoundError
+    t2 = LakeTable(spark, str(tmp_path / "cl5")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    t2.merge(_batch(spark, [("a", [1], 1, "s", "I", 1)]), epoch_id=0, lsn_col="lsn", op_col="op")
+    t2.merge(_batch(spark, [("b", [2], 2, "s", "I", 2)]), epoch_id=1, lsn_col="lsn", op_col="op")
+    t2.vacuum(keep_last_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t2.read_changes(1)
 
 
 def test_changelog_surfaces_evolved_columns(spark, tmp_path):
