@@ -551,6 +551,34 @@ def _q_corpus_near_dedup_stats(spark, sf):
     )
 
 
+def _q_embed_near_dedup_stats(spark, sf):
+    """SEMANTIC near-dedup, composed end-to-end (round 5): embedding-space
+    LSH near-dup pairs (auto-sized multi-table index, exact verify) ->
+    connected components (large-star/small-star) -> drop non-canonical
+    cluster members -> integer survivor stats. The embedding sibling of
+    ``corpus_near_dedup_stats`` — the flow a training pipeline runs when
+    dedup must catch paraphrases that share no shingles. All-integer
+    output keeps the oracle hash exact (no float summation order)."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = ANN.embedding_near_dup_pairs(emb, threshold=_ND_THRESHOLD).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    comps = _fresh_components("embed_near_dedup_stats", pairs)
+    drop = comps.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").cast("long").alias("vec_id")
+    )
+    survivors = emb.select(F.col("vec_id").cast("long").alias("vec_id")).join(
+        drop, "vec_id", "left_anti"
+    )
+    return survivors.groupBy(
+        F.pmod(F.col("vec_id"), F.lit(4)).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    )
+
+
 def _q_dedup_simhash(spark, sf):
     return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3).select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -771,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_components": _q_dedup_components,
         "corpus_near_dedup_stats": _q_corpus_near_dedup_stats,
+        "embed_near_dedup_stats": _q_embed_near_dedup_stats,
         "dedup_simhash": _q_dedup_simhash,
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_near_dup": _q_embed_near_dup,
@@ -1204,6 +1233,38 @@ def _oracle_sql_base() -> dict[str, str]:
             join U ua on ua.vec_id = c.id_a
             join U ub on ub.vec_id = c.id_b
             where round(list_dot_product(ua.u, ub.u), 6) >= {_ND_THRESHOLD}
+        """,
+        # same candidate generation as embed_near_dup, then the same
+        # recursive-CTE transitive closure as corpus_near_dedup_stats:
+        # min-comp label == the engine's star-alternation component id
+        "embed_near_dedup_stats": f"""
+            with recursive E as (select vec_id, embedding::DOUBLE[] v from embeddings),
+            N0 as (select vec_id, v, sqrt(list_dot_product(v, v)) nrm from E),
+            U as (select vec_id, list_transform(v, x -> x / nrm) u from N0),
+            B as (select vec_id,
+                    {", ".join(f"{_lsh_bucket_sql('E', _ND_BITS, _ND_BITS * t)} as b{t}" for t in range(_ND_TABLES))}
+                  from E),
+            K as (select vec_id, unnest([{", ".join(f"'{t}:' || b{t}::VARCHAR" for t in range(_ND_TABLES))}]) k from B),
+            CAND as (select distinct a.vec_id id_a, b.vec_id id_b
+                     from K a join K b on a.k = b.k and a.vec_id < b.vec_id),
+            P as (select c.id_a, c.id_b from CAND c
+                  join U ua on ua.vec_id = c.id_a
+                  join U ub on ub.vec_id = c.id_b
+                  where round(list_dot_product(ua.u, ub.u), 6) >= {_ND_THRESHOLD}),
+            Ed as (select id_a a, id_b b from P union select id_b, id_a from P),
+            Nd as (select distinct a node from Ed),
+            R(node, comp) as (
+              select node, node from Nd
+              union
+              select e.a, r.comp from Ed e join R r on r.node = e.b
+            ),
+            L as (select node, min(comp) comp from R group by node),
+            DROPPED as (select node from L where node != comp)
+            select vec_id % 4 as bucket, count(*) as n_survivors,
+                   sum(vec_id)::BIGINT as sum_vec_id
+            from embeddings
+            where vec_id not in (select node from DROPPED)
+            group by bucket
         """,
         "embed_lsh_ann": f"""
             with E as (select vec_id, embedding::DOUBLE[] v from embeddings),

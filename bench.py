@@ -54,6 +54,7 @@ HEADLINE = [
     "range_value_bands",
     "corpus_clean_stats",
     "corpus_near_dedup_stats",
+    "embed_near_dedup_stats",
     "pack_sequences",
 ]
 

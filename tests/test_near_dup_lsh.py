@@ -150,6 +150,22 @@ def test_small_relation_public_fallback(spark, sf_dir, monkeypatch):
     assert DD._small_relation(mem, 128 * 1024 * 1024) is False
 
 
+def test_embed_near_dedup_stats_entry(spark, sf_dir):
+    """The composed semantic near-dedup query: 4 integer-stat buckets,
+    survivors never exceed the corpus, and the component-label cache is
+    released on re-entry (shared _fresh_components discipline)."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["embed_near_dedup_stats"](spark, sf_dir)
+    rows = {r.bucket: (r.n_survivors, r.sum_vec_id) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert 0 < sum(n for n, _ in rows.values()) <= n_emb
+    for df in list(entry._COMPONENT_LABELS.values()):
+        df.unpersist(False)
+    entry._COMPONENT_LABELS.clear()
+
+
 def test_components_string_ids(spark):
     """dup_components is id-type generic: string doc ids cluster by
     lexicographic minimum."""
