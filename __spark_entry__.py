@@ -579,6 +579,32 @@ def _q_embed_near_dedup_stats(spark, sf):
     )
 
 
+def _q_decontaminate_stats(spark, sf):
+    """Benchmark decontamination (round 5): a deterministic pseudo-benchmark
+    (every 53rd doc stands in for an eval set), one shingle-key left-semi
+    join flags every remaining training doc sharing an n-gram with it, and
+    the report counts contaminated docs per source. ``n=3`` here is the
+    aggressive end of the knob (the operator defaults to 8 ≈ verbatim
+    leakage) — chosen so the sf0.01 gate exercises a non-trivial flagged
+    set (~275 of 490 docs) rather than a near-empty one."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("long")
+    bench = d.filter(F.pmod(did, F.lit(53)) == 0)
+    rest = d.filter(F.pmod(did, F.lit(53)) != 0)
+    flagged = DD.contaminated_doc_ids(rest, bench, n=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.lit(1).alias("_c")
+    )
+    return (
+        rest.select(did.alias("doc_id"), "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+    )
+
+
 def _q_dedup_simhash(spark, sf):
     return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3).select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -800,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "corpus_near_dedup_stats": _q_corpus_near_dedup_stats,
         "embed_near_dedup_stats": _q_embed_near_dedup_stats,
+        "decontaminate_stats": _q_decontaminate_stats,
         "dedup_simhash": _q_dedup_simhash,
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_near_dup": _q_embed_near_dup,
@@ -1192,6 +1219,22 @@ def _oracle_sql_base() -> dict[str, str]:
             from documents d
             where d.doc_id not in (select node from DROPPED)
             group by d.source
+        """,
+        "decontaminate_stats": """
+            with W as (select doc_id, source,
+                         string_split_regex(trim(text), '\\s+') ws from documents),
+            BSH as (select distinct unnest(list_distinct(list_transform(
+                      range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) sh
+                    from W where doc_id % 53 = 0),
+            DSH as (select doc_id, unnest(list_distinct(list_transform(
+                      range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) sh
+                    from W where doc_id % 53 != 0),
+            FLAG as (select distinct d.doc_id from DSH d join BSH b on d.sh = b.sh)
+            select w.source, count(*) as n_docs,
+                   sum(case when f.doc_id is not null then 1 else 0 end)::BIGINT as n_contaminated
+            from W w left join FLAG f on f.doc_id = w.doc_id
+            where w.doc_id % 53 != 0
+            group by w.source
         """,
         "dedup_simhash": f"""
             with {_SIMHASH_CTE}

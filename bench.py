@@ -55,6 +55,7 @@ HEADLINE = [
     "corpus_clean_stats",
     "corpus_near_dedup_stats",
     "embed_near_dedup_stats",
+    "decontaminate_stats",
     "pack_sequences",
 ]
 

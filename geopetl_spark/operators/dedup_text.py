@@ -421,3 +421,41 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contaminated_doc_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool | None = None,
+) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage guard every LLM data
+    pipeline runs before training: flag every training doc sharing at
+    least one ``n``-gram word shingle with the benchmark/eval set.
+
+    Shape: benchmark shingles are DISTINCT'd (eval sets are KBs–MBs
+    against a 100-TB corpus) and the corpus joins them with ONE
+    shingle-key LEFT-SEMI equi-join — the corpus is touched once, no pair
+    space, no threshold math. The benchmark side broadcast-hints itself
+    via the same plan-stats/file-size probe as the dedup joins (auto-OFF
+    if the "benchmark" is actually large — the safe polarity). ``n=8``
+    default matches common decontamination practice (wide shingles ≈
+    verbatim leakage); lower ``n`` is aggressive/fuzzier.
+
+    Returns the DISTINCT flagged ``id_col`` values. Reference parity: none
+    (geopetl has no corpus tooling); training-pipeline extension per
+    SURVEY §2.7.
+    """
+    bench_sh = _shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    if broadcast_benchmark is None:
+        broadcast_benchmark = _small_relation(benchmark, 64 * 1024 * 1024)
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = _shingles(docs, text_col, id_col, n)
+    return (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )

@@ -166,6 +166,24 @@ def test_embed_near_dedup_stats_entry(spark, sf_dir):
     entry._COMPONENT_LABELS.clear()
 
 
+def test_decontamination_flags_planted_overlap(spark):
+    """contaminated_doc_ids: docs sharing an n-gram with the benchmark are
+    flagged, disjoint docs are not, and a benchmark too short for the
+    shingle width flags nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words here entirely"),
+            (3, "xx alpha beta gamma delta yy"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")], "doc_id long, text string")
+    got = {r.doc_id for r in DD.contaminated_doc_ids(docs, bench, n=4).collect()}
+    assert got == {1, 3}
+    assert DD.contaminated_doc_ids(docs, bench, n=5).count() == 0
+
+
 def test_components_string_ids(spark):
     """dup_components is id-type generic: string doc ids cluster by
     lexicographic minimum."""
