@@ -677,6 +677,22 @@ def _q_text_normalize_redact(spark, sf):
     )
 
 
+def _q_doc_repetition_stats(spark, sf):
+    """Intra-doc repetition filter metrics (Gopher/RefinedWeb-style):
+    word-level duplication + top-word dominance per doc, with the
+    repetitiveness flag."""
+    out = TXT.word_repetition_stats(_t(spark, sf, "documents"))
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _q_doc_unigram_logprob(spark, sf):
+    """Perplexity-filter stage: mean per-word log-probability under the
+    corpus's own add-one-smoothed unigram model (exact-decimal summation —
+    see functions/text.py::unigram_logprob_scores)."""
+    out = TXT.unigram_logprob_scores(_t(spark, sf, "documents"))
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
 def _q_embed_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
@@ -827,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_near_dedup_stats": _q_corpus_near_dedup_stats,
         "embed_near_dedup_stats": _q_embed_near_dedup_stats,
         "decontaminate_stats": _q_decontaminate_stats,
+        "doc_repetition_stats": _q_doc_repetition_stats,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
         "dedup_simhash": _q_dedup_simhash,
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_near_dup": _q_embed_near_dup,
@@ -1219,6 +1237,30 @@ def _oracle_sql_base() -> dict[str, str]:
             from documents d
             where d.doc_id not in (select node from DROPPED)
             group by d.source
+        """,
+        "doc_repetition_stats": """
+            with W as (select doc_id, unnest(string_split_regex(trim(text), '\\s+')) w from documents),
+            W2 as (select doc_id, w from W where len(w) > 0),
+            WC as (select doc_id, w, count(*) c from W2 group by 1, 2),
+            A as (select doc_id, sum(c)::BIGINT n_words, count(*)::BIGINT n_distinct_words,
+                         max(c)::BIGINT top from WC group by 1)
+            select doc_id, n_words, n_distinct_words,
+                   round(1.0 - n_distinct_words::DOUBLE / n_words, 6) as dup_word_frac,
+                   round(top::DOUBLE / n_words, 6) as top_word_frac,
+                   (round(1.0 - n_distinct_words::DOUBLE / n_words, 6) > 0.3) as is_repetitive
+            from A
+        """,
+        "doc_unigram_logprob": """
+            with W as (select doc_id, unnest(string_split_regex(trim(text), '\\s+')) w from documents),
+            W2 as (select doc_id, w from W where len(w) > 0),
+            V as (select w, count(*) c from W2 group by 1),
+            T as (select sum(c)::BIGINT n, count(*)::BIGINT v from V),
+            S as (select w, round(ln((c+1)::DOUBLE / (n + v)), 6)::DECIMAL(20,6) logp
+                  from V cross join T)
+            select w2.doc_id, count(*)::BIGINT as n_words,
+                   round(sum(s.logp)::DOUBLE / count(*), 6) as avg_logprob
+            from W2 w2 join S s on s.w = w2.w
+            group by w2.doc_id
         """,
         "decontaminate_stats": """
             with W as (select doc_id, source,

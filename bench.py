@@ -56,6 +56,8 @@ HEADLINE = [
     "corpus_near_dedup_stats",
     "embed_near_dedup_stats",
     "decontaminate_stats",
+    "doc_repetition_stats",
+    "doc_unigram_logprob",
     "pack_sequences",
 ]
 

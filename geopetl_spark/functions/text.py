@@ -149,3 +149,87 @@ def redact_pii(text: Column) -> Column:
 def pii_count(text: Column) -> Column:
     """Number of redactable spans (emails + phone runs) in the raw text."""
     return (F.regexp_count(text, F.lit(EMAIL_PATTERN)) + F.regexp_count(text, F.lit(PHONE_PATTERN))).cast("long")
+
+
+def word_repetition_stats(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id", flag_threshold: float = 0.3
+) -> "DataFrame":
+    """Intra-document repetition metrics — the Gopher/RefinedWeb-style
+    repetition filter stage: heavily self-repeating documents (boilerplate,
+    keyword stuffing, generation loops) are poison for LM training.
+
+    Per doc: ``n_words``, ``n_distinct_words``, ``dup_word_frac``
+    (= 1 − distinct/total), ``top_word_frac`` (most frequent word's share),
+    and ``is_repetitive`` (dup_word_frac > ``flag_threshold``). Shape: one
+    words-explode → (doc, word) count → per-doc aggregate — two map-side-
+    combinable aggregations, no window, no shuffle beyond the groupBys.
+    Ratios round to 6dp (cross-engine hash determinism, same discipline as
+    the Jaccard operators)."""
+    from pyspark.sql import functions as F
+
+    w = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
+    ).filter(F.length("_w") > 0)
+    wc = w.groupBy("_id", "_w").agg(F.count("*").alias("_c"))
+    agg = wc.groupBy("_id").agg(
+        F.sum("_c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.max("_c").cast("long").alias("_top"),
+    )
+    dup_frac = F.round(1.0 - F.col("n_distinct_words") / F.col("n_words"), 6)
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        "n_distinct_words",
+        dup_frac.alias("dup_word_frac"),
+        F.round(F.col("_top") / F.col("n_words"), 6).alias("top_word_frac"),
+        (dup_frac > F.lit(flag_threshold)).alias("is_repetitive"),
+    )
+
+
+def unigram_logprob_scores(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Unigram-LM document scoring — the perplexity-filter stage: score
+    each document by its mean per-word log-probability under an add-one-
+    smoothed unigram model trained on the corpus itself (documents full of
+    rare/garbled tokens score low; pass a precomputed vocabulary at scale
+    by training once and reusing, same economics as the BPE merges table).
+
+    Determinism across engines: per-word ``logp = round(ln((c+1)/(N+V)),
+    6)`` (the one float op; 6dp rounding absorbs last-ulp libm
+    differences), then summed as DECIMAL(20,6) — exact, order-independent
+    — and only the final mean is a float division, rounded to 6dp.
+
+    Shape: one corpus word-count aggregation (map-side combinable; the
+    model is O(vocab), never O(corpus)), one words→vocab equi-join, one
+    per-doc aggregate."""
+    from pyspark.sql import functions as F
+
+    w = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
+    ).filter(F.length("_w") > 0)
+    vocab = w.groupBy("_w").agg(F.count("*").alias("_c"))
+    totals = vocab.agg(
+        F.sum("_c").cast("long").alias("_n"), F.count("*").cast("long").alias("_v")
+    )
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "_w",
+        F.round(F.log((F.col("_c") + 1) / (F.col("_n") + F.col("_v")))
+                .cast("double"), 6).cast("decimal(20,6)").alias("_logp"),
+    )
+    return (
+        w.join(scored, "_w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_logp").alias("_sum"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            F.round(F.col("_sum").cast("double") / F.col("n_words"), 6).alias("avg_logprob"),
+        )
+    )

@@ -38,6 +38,39 @@ def test_redact_pii_planted(spark):
     assert out[2].n == 2
 
 
+def test_word_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam ham"),
+            (2, "six totally distinct words right here"),
+            (3, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TXT.word_repetition_stats(df).collect()}
+    assert out[1].n_words == 6 and out[1].n_distinct_words == 2
+    assert out[1].dup_word_frac == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert out[1].top_word_frac == pytest.approx(5 / 6, abs=1e-6)
+    assert out[1].is_repetitive is True
+    assert out[2].dup_word_frac == 0.0 and out[2].is_repetitive is False
+    assert 3 not in out  # whitespace-only doc has no words
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """A doc of corpus-common words must outscore a doc of hapaxes under
+    the corpus's own unigram model; decimal summation keeps the score
+    deterministic."""
+    rows = [(i, "the quick brown fox") for i in range(20)]
+    rows.append((100, "zxq1 vvw2 kkj3 qqp4"))  # all hapaxes
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in TXT.unigram_logprob_scores(df).collect()}
+    assert out[0] == out[19]  # identical docs, identical scores
+    assert out[100] < out[0]  # rare-word doc scores strictly lower
+    # deterministic across invocations
+    out2 = {r.doc_id: r.avg_logprob for r in TXT.unigram_logprob_scores(df).collect()}
+    assert out == out2
+
+
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
