@@ -677,6 +677,25 @@ def _q_text_normalize_redact(spark, sf):
     )
 
 
+def _q_stratified_sample_stats(spark, sf):
+    """Data-mixture sampling (round 5): keep 100% of src0, 40% of src1,
+    10% of everything else — per-group deterministic hash-threshold
+    membership (stable under growth/repartitioning/engine ports) — and
+    report surviving counts + id sums per source."""
+    from geopetl_spark.operators.sample import stratified_sample
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    kept = stratified_sample(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.4}, default_fraction=0.1
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
 def _q_doc_repetition_stats(spark, sf):
     """Intra-doc repetition filter metrics (Gopher/RefinedWeb-style):
     word-level duplication + top-word dominance per doc, with the
@@ -845,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_stats": _q_decontaminate_stats,
         "doc_repetition_stats": _q_doc_repetition_stats,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "stratified_sample_stats": _q_stratified_sample_stats,
         "dedup_simhash": _q_dedup_simhash,
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_near_dup": _q_embed_near_dup,
@@ -1237,6 +1257,16 @@ def _oracle_sql_base() -> dict[str, str]:
             from documents d
             where d.doc_id not in (select node from DROPPED)
             group by d.source
+        """,
+        "stratified_sample_stats": """
+            with B as (select doc_id, source,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 10000 b
+              from documents),
+            K as (select * from B where b < (case source when 'src0' then 10000
+                                                          when 'src1' then 4000
+                                                          else 1000 end))
+            select source, count(*) as n_kept, sum(doc_id)::BIGINT as sum_doc_id
+            from K group by source
         """,
         "doc_repetition_stats": """
             with W as (select doc_id, unnest(string_split_regex(trim(text), '\\s+')) w from documents),

@@ -58,6 +58,7 @@ HEADLINE = [
     "decontaminate_stats",
     "doc_repetition_stats",
     "doc_unigram_logprob",
+    "stratified_sample_stats",
     "pack_sequences",
 ]
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import word_hash
 
-__all__ = ["hash_bucket", "split_by_hash", "deterministic_sample", "pack_sequences"]
+__all__ = ["hash_bucket", "split_by_hash", "deterministic_sample", "stratified_sample", "pack_sequences"]
 
 N_BUCKETS = 10_000
 
@@ -117,3 +117,28 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
         raise ValueError("fraction must be in [0, 1]")
     cutoff = int(round(fraction * N_BUCKETS))
     return df.filter(hash_bucket(F.col(id_col)) < F.lit(cutoff))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling — the data-mixture knob: upweight
+    or downweight sources by keeping a different stable fraction of each
+    (e.g. ``{"wiki": 1.0, "web": 0.1}``). Same hash-bucket construction as
+    :func:`deterministic_sample`, so membership is stable under growth,
+    repartitioning, and engine ports; groups not named keep
+    ``default_fraction``. A pure per-row projection + filter — no shuffle,
+    no per-group scans, one pass whatever the group count."""
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    cutoff = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for g, f in fractions.items():
+        cutoff = F.when(F.col(group_col) == F.lit(g), F.lit(int(round(f * N_BUCKETS)))).otherwise(cutoff)
+    return df.filter(hash_bucket(F.col(id_col)) < cutoff)

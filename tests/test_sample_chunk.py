@@ -10,6 +10,7 @@ from geopetl_spark.functions.arrays import chunk_array  # noqa: E402
 from geopetl_spark.operators.sample import (  # noqa: E402
     deterministic_sample,
     split_by_hash,
+    stratified_sample,
 )
 
 
@@ -45,6 +46,27 @@ def test_deterministic_sample_is_subset_monotone(spark, ids):
     assert abs(len(s10) / 5000 - 0.1) < 0.02
     with pytest.raises(ValueError):
         deterministic_sample(ids, "doc_id", 1.5)
+
+
+def test_stratified_sample_per_group_rates(spark, ids):
+    """Per-group rates hold, membership agrees with the flat sampler (same
+    hash family), unnamed groups get the default, and rates are stable."""
+    grouped = ids.withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    kept = stratified_sample(grouped, "doc_id", "src", {"a": 1.0, "b": 0.2})
+    counts = {r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 2500                      # 100% of evens
+    assert abs(counts["b"] / 2500 - 0.2) < 0.04     # ~20% of odds
+    # membership for group b == the flat 0.2 sampler's membership
+    flat = {r.doc_id for r in deterministic_sample(ids, "doc_id", 0.2).collect()}
+    b_kept = {r.doc_id for r in kept.filter("src = 'b'").collect()}
+    assert b_kept == {i for i in flat if i % 2 == 1}
+    # unnamed group -> default_fraction (0 keeps nothing)
+    none_kept = stratified_sample(grouped, "doc_id", "src", {"a": 0.5})
+    assert none_kept.filter("src = 'b'").count() == 0
+    with pytest.raises(ValueError):
+        stratified_sample(grouped, "doc_id", "src", {"a": 1.5})
 
 
 def test_chunk_array_semantics(spark):
