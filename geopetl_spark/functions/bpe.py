@@ -198,10 +198,24 @@ def save_merges(merges: list[tuple[str, str]], alphabet: list[str], path: str = 
         json.dump({"merges": [list(m) for m in merges], "alphabet": alphabet}, fh, indent=1)
 
 
-def load_merges(path: str = _DATA_PATH) -> tuple[list[tuple[str, str]], list[str]]:
-    """The shipped default merges table (trained on sf0.001 documents)."""
-    with open(path) as fh:
-        doc = json.load(fh)
+def load_merges(path: str | None = None) -> tuple[list[tuple[str, str]], list[str]]:
+    """The shipped default merges table (trained on sf0.001 documents).
+    Resolves through ``importlib.resources`` when the package is imported
+    from a ``--py-files`` zip (executors on a real cluster — a plain
+    ``__file__``-relative open raises NotADirectoryError there)."""
+    if path is not None:
+        with open(path) as fh:
+            doc = json.load(fh)
+    else:
+        try:
+            with open(_DATA_PATH) as fh:
+                doc = json.load(fh)
+        except (FileNotFoundError, NotADirectoryError):
+            from importlib import resources
+
+            doc = json.loads(
+                resources.files("geopetl_spark").joinpath("data/bpe_merges.json").read_text()
+            )
     return [tuple(m) for m in doc["merges"]], list(doc["alphabet"])
 
 

@@ -501,6 +501,35 @@ class LakeTable:
             df = df.filter(F.col(LSN_COL).isNotNull())
         return df.drop(BUCKET_COL, SEQ_COL)
 
+    def iter_changes(
+        self, since_version: int, on_bulk: str = "error"
+    ):
+        """Tail the changelog: yield ``(version, DataFrame, summary)`` for
+        every commit after ``since_version`` that changed data, in commit
+        order — the consumption loop a downstream CDC-out subscriber runs
+        (each yielded frame is ``read_changes(v-1, v)``: that commit's
+        delta only). Metadata-only commits (ACL changes) and maintenance
+        rewrites that don't advance the LSN watermark (compact/rebucket)
+        yield nothing. Returns when caught up with the current version;
+        callers poll by re-invoking from the last yielded version (the
+        retention contract raises if they fall behind a history break or
+        the vacuum window — see :meth:`read_changes`)."""
+        current = self.manifest()["version"]
+        prev = since_version
+        for v in range(since_version + 1, current + 1):
+            m = self.manifest(v)
+            op = m["summary"].get("operation")
+            if op == "alter-acl":
+                prev = v
+                continue
+            wm_prev = self.manifest(prev).get("lsn_watermark")
+            if m.get("lsn_watermark") == wm_prev and op not in ("overwrite", "truncate"):
+                prev = v  # nothing new past the watermark (compact/rebucket/no-op)
+                continue
+            df = self.read_changes(prev, to_version=v, on_bulk=on_bulk)
+            yield v, df, dict(m["summary"])
+            prev = v
+
     def count(self) -> int:
         # metadata-only row count, ≈ A1 (oracle_sde.py:1084-1091) served from
         # the snapshot summary like Iceberg's total-records. After an MoR

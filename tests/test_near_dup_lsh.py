@@ -166,6 +166,15 @@ def test_embed_near_dedup_stats_entry(spark, sf_dir):
     entry._COMPONENT_LABELS.clear()
 
 
+def test_decontamination_broadcasts_small_benchmark(spark, sf_dir):
+    """Plan shape: a small benchmark side becomes a broadcast LEFT-SEMI
+    hash join (the corpus is never exchanged on the shingle key)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.limit(20)
+    plan = _plan(DD.contaminated_doc_ids(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_decontamination_flags_planted_overlap(spark):
     """contaminated_doc_ids: docs sharing an n-gram with the benchmark are
     flagged, disjoint docs are not, and a benchmark too short for the

@@ -293,6 +293,29 @@ def test_changelog_retention_contract_on_history_breaks(spark, tmp_path):
         t2.read_changes(1)
 
 
+def test_iter_changes_tails_per_commit_deltas(spark, tmp_path):
+    """The CDC-out subscriber loop: one (version, delta, summary) per
+    data-changing commit; metadata-only commits and watermark-neutral
+    maintenance rewrites yield nothing."""
+    t = LakeTable(spark, str(tmp_path / "tail")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    t.merge(
+        _batch(spark, [(f"k{i}", [i], i, "s", "I", i + 1) for i in range(5)]),
+        epoch_id=0, lsn_col="lsn", op_col="op",
+    )
+    v0 = t.manifest()["version"]
+    t.merge(_batch(spark, [("k1", [9], 9, "s", "U", 10)]), epoch_id=1, lsn_col="lsn", op_col="op")
+    t.grant("alice", "SELECT")  # metadata-only commit: no yield
+    t.merge(_batch(spark, [("k2", None, None, "s", "D", 11)]), epoch_id=2, lsn_col="lsn", op_col="op")
+    t.compact()  # watermark-neutral rewrite: no yield
+    out = [(v, {(r.doc_id, r._deleted) for r in df.collect()}, s) for v, df, s in t.iter_changes(v0)]
+    assert [v for v, _, _ in out] == [v0 + 1, v0 + 3]
+    assert out[0][1] == {("k1", False)}
+    assert out[1][1] == {("k2", True)}
+    assert out[0][2]["operation"] == "merge"
+    # caught up: nothing more
+    assert list(t.iter_changes(t.manifest()["version"])) == []
+
+
 def test_changelog_surfaces_evolved_columns(spark, tmp_path):
     """A column added by a later epoch appears in the changelog; rows from
     before the column existed would read as NULL under the evolved schema."""
