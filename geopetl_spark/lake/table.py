@@ -239,16 +239,53 @@ class LakeTable:
     _ZONE_PRED_RE = re.compile(
         r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$"
     )
+    _ZONE_LIT = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
+    _ZONE_BETWEEN_RE = re.compile(
+        rf"(?i)\b(\w+)\s+between\s+({_ZONE_LIT})\s+and\s+({_ZONE_LIT})"
+    )
+    _ZONE_IN_RE = re.compile(
+        rf"^\s*(\w+)\s+in\s+\(\s*({_ZONE_LIT}(?:\s*,\s*{_ZONE_LIT})*)\s*\)\s*$",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _zone_lit(raw: str) -> object:
+        if raw.startswith("'"):
+            return raw[1:-1]
+        return float(raw) if "." in raw else int(raw)
 
     @classmethod
     def _parse_zone_preds(cls, where: str) -> list[tuple[str, str, object]] | None:
-        """AND-conjunctions of ``col OP literal`` only (OP in =,<,<=,>,>=).
-        Returns None for anything richer (OR/NOT/IN/LIKE/functions/parens) —
-        pruning then stays off and the full filter still runs in the plan."""
-        if re.search(r"(?i)\b(or|not|in|like|between|is|null)\b|[()]", where):
-            return None
-        preds: list[tuple[str, str, object]] = []
+        """AND-conjunctions of ``col OP literal`` (OP in =,<,<=,>,>=),
+        ``col BETWEEN a AND b`` (rewritten to the two range bounds before
+        the AND split, so its inner AND doesn't confuse the conjunction
+        parser), and ``col IN (v1, ...)`` (pruned against the value list's
+        min/max envelope). Returns None for anything richer
+        (OR/NOT/LIKE/IS NULL/functions/parens beyond the IN-list) —
+        pruning then stays off and the full filter still runs in the
+        plan."""
+        where = cls._ZONE_BETWEEN_RE.sub(r"\1 >= \2 and \1 <= \3", where)
+        in_parts: list[tuple[str, str, object]] = []
+        rest_parts: list[str] = []
         for part in re.split(r"(?i)\band\b", where):
+            mi = cls._ZONE_IN_RE.match(part)
+            if mi:
+                vals = [cls._zone_lit(v.strip()) for v in re.findall(cls._ZONE_LIT, mi.group(2))]
+                if len({isinstance(v, str) for v in vals}) != 1:
+                    return None  # mixed-type IN list: stay off
+                # a zone overlapping [min(vals), max(vals)] MAY contain a
+                # member; outside the envelope it provably cannot
+                in_parts.append((mi.group(1), ">=", min(vals)))
+                in_parts.append((mi.group(1), "<=", max(vals)))
+            else:
+                rest_parts.append(part)
+        rest = " and ".join(rest_parts)
+        if rest.strip() and re.search(r"(?i)\b(or|not|in|like|between|is|null)\b|[()]", rest):
+            return None
+        preds: list[tuple[str, str, object]] = list(in_parts)
+        for part in rest_parts:
+            if not part.strip():
+                return None
             mt = cls._ZONE_PRED_RE.match(part)
             if not mt:
                 return None

@@ -66,15 +66,26 @@ def test_pruning_excludes_provably_empty_buckets(table):
     assert table._pruned_buckets(m, "source = 'other'") == set(m["buckets"].keys())
     # in-range -> nothing provably empty (every bucket spans the range)
     assert table._pruned_buckets(m, "n_tok >= 0") == set()
+    # BETWEEN and IN prune via their range envelopes (round 5)
+    assert table._pruned_buckets(m, "n_tok between 5000 and 6000") == set(m["buckets"].keys())
+    assert table._pruned_buckets(m, "n_tok in (7000, 8000)") == set(m["buckets"].keys())
+    assert table._pruned_buckets(m, "source in ('zz1', 'zz2')") == set(m["buckets"].keys())
+    assert table._pruned_buckets(m, "n_tok between 0 and 199") == set()
+    assert table._pruned_buckets(m, "n_tok in (5, 9000)") == set()  # envelope spans zones
     # complex expressions disable pruning, never wrong results
     assert table._pruned_buckets(m, "n_tok > 5000 or n_tok < 0") == set()
     assert table._pruned_buckets(m, "abs(n_tok) > 5000") == set()
     assert table._pruned_buckets(m, "n_tok is null") == set()
+    assert table._pruned_buckets(m, "n_tok not between 0 and 5000") == set()
+    assert table._pruned_buckets(m, "n_tok not in (1, 2)") == set()
+    assert table._pruned_buckets(m, "source = 'a between 1 and 3'") == set()
 
 
 def test_pruned_read_matches_unpruned_filter(table):
     full = table.read()
-    for where in ("n_tok > 150", "n_tok <= 10", "n_tok = 42 and source = 'src'", "n_tok > 5000"):
+    for where in ("n_tok > 150", "n_tok <= 10", "n_tok = 42 and source = 'src'", "n_tok > 5000",
+                  "n_tok between 40 and 60", "n_tok in (5, 42, 7000)",
+                  "n_tok between 20 and 30 and source = 'src'"):
         got = sorted(r.doc_id for r in table.read(where=where).collect())
         exp = sorted(r.doc_id for r in full.filter(where).collect())
         assert got == exp, where
