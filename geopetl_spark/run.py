@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> dict:
         "'ignore' opts into the documented merge-only view",
     )
     p.add_argument(
+        "--follow", type=int, default=None, metavar="VERSION",
+        help="changelog-tail mode: print one JSON line per data-changing "
+        "commit after VERSION (doc count + tombstones + summary), then "
+        "exit when caught up — the CDC-out subscriber loop at the CLI",
+    )
+    p.add_argument(
         "--maintain", default=None, metavar="OP",
         help="maintenance mode: run one table operation and exit — "
         "'compact', 'compact-drop-tombstones', 'vacuum', or 'rebucket:N' "
@@ -110,6 +116,22 @@ def main(argv: list[str] | None = None) -> dict:
         }
         print(json.dumps(out))
         return out
+    if args.follow is not None:
+        if not table.exists():
+            p.error(f"no lake table at {args.table}")
+        results = []
+        for v, ch, summary in table.iter_changes(args.follow, on_bulk=args.changes_on_bulk):
+            n_del = ch.filter("_deleted").count()
+            row = {
+                "mode": "follow",
+                "version": v,
+                "operation": summary.get("operation"),
+                "changed_rows": ch.count(),
+                "delete_tombstones": n_del,
+            }
+            print(json.dumps(row))
+            results.append(row)
+        return {"mode": "follow", "commits": results}
     if args.maintain is not None:
         if not table.exists():
             p.error(f"no lake table at {args.table}")
