@@ -165,6 +165,7 @@ class LakeTable:
         version see exactly one winner; the loser gets CommitConflict and
         must re-read the table and retry its operation (same contract as
         Iceberg's atomic swap). The pointer swap after that is atomic."""
+        manifest["committed_at"] = time.time()  # commit-time stamp (time travel by ts)
         mpath = self._manifest_path(manifest["version"])
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -193,6 +194,31 @@ class LakeTable:
         with open(mpath) as fh:
             return json.load(fh)
 
+    def version_as_of(self, ts: float) -> int:
+        """Latest version committed at or before unix timestamp ``ts`` —
+        Iceberg-style timestamp time travel, resolved against the retained
+        manifest window (vacuum prunes old manifests, so travel reaches
+        only what retention kept; a ts before the window raises)."""
+        best = None
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self.manifest_dir, name)) as fh:
+                    m = json.load(fh)
+            except json.JSONDecodeError:
+                continue  # in-flight concurrent commit
+            at = m.get("committed_at")
+            if at is not None and at <= ts and (best is None or m["version"] > best):
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before ts={ts} "
+                f"(vacuum may have pruned the window, or the table predates "
+                f"commit timestamps)"
+            )
+        return best
+
     def history(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self.manifest_dir)):
@@ -209,6 +235,7 @@ class LakeTable:
                         "epoch_id": m.get("epoch_id"),
                         "operation": m["summary"].get("operation"),
                         "total_rows": m["summary"].get("total_rows"),
+                        "committed_at": m.get("committed_at"),
                     }
                 )
         return out
@@ -384,8 +411,11 @@ class LakeTable:
         where: str | None = None,
         limit: int | None = None,
         include_system: bool = False,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
-        """Read a snapshot (time travel via ``version=``).
+        """Read a snapshot (time travel via ``version=`` or a unix
+        timestamp ``as_of_ts=`` — resolved to the latest retained commit at
+        or before it).
 
         Bucket pruning is manifest-level **file pruning**: only the data
         directories of requested buckets are scanned — the engine's own
@@ -404,6 +434,10 @@ class LakeTable:
         ``max_by`` on (_lsn, _seq) — the read-time tax MoR trades for O(batch)
         writes; ``compact()`` folds deltas back into the base to reclaim it.
         """
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version= or as_of_ts=, not both")
+            version = self.version_as_of(as_of_ts)
         m = self.manifest(version)
         skip = self._pruned_buckets(m, where)
         # per-DIR pruning within surviving buckets (Iceberg prunes per file

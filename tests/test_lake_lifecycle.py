@@ -64,6 +64,25 @@ def test_rebucket_preserves_state_and_reroutes_merges(merged_table, spark):
     assert got == {"k00001": 9, "k00002": 7}
 
 
+def test_timestamp_time_travel(merged_table, spark):
+    """read(as_of_ts=) resolves to the latest commit at or before the
+    timestamp (no flaky sleeps: the manifests' own committed_at stamps
+    drive the probe points)."""
+    t = merged_table
+    hist = [h for h in t.history() if h["committed_at"] is not None]
+    assert len(hist) >= 3  # create + 3 merges
+    v_mid = hist[-2]["version"]
+    ts_mid = hist[-2]["committed_at"]
+    # exactly at a commit's stamp -> that commit; between commits -> the earlier one
+    assert t.version_as_of(ts_mid) == v_mid
+    assert t.read(as_of_ts=ts_mid).count() == t.read(version=v_mid).count()
+    assert t.version_as_of(hist[-1]["committed_at"] + 1) == hist[-1]["version"]
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_as_of(hist[0]["committed_at"] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of_ts=ts_mid)
+
+
 def test_compact_preserves_state_and_reduces_dirs(merged_table):
     t = merged_table
     cs = t.checksum()
