@@ -80,10 +80,11 @@ def _decode_fake(blob: bytes) -> tuple[int, int, float]:
     return w, h, mean
 
 
-def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
-    """Binary netpbm: P6 (RGB) / P5 (gray), 8-bit maxval. Header = magic,
-    then whitespace/comment-separated width, height, maxval, then ONE
-    whitespace byte, then raw samples."""
+def _parse_ppm_header(blob: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary netpbm header → (width, height, channels, payload
+    offset). Shared by decode and resize so both read the raster at the
+    HEADER offset (never a from-the-end slice, which trailing bytes some
+    netpbm writers append would silently shift)."""
     pos = 2
     vals: list[int] = []
     n = len(blob)
@@ -104,14 +105,20 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
     w, h, maxval = vals
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm not supported")
-    channels = 3 if blob[:2] == b"P6" else 1
+    return w, h, (3 if blob[:2] == b"P6" else 1), pos
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
+    """Binary netpbm: P6 (RGB) / P5 (gray), 8-bit maxval."""
+    import numpy as np
+
+    w, h, channels, pos = _parse_ppm_header(blob)
     need = w * h * channels
     data = blob[pos : pos + need]
     if len(data) < need:
         raise ValueError(f"truncated netpbm payload: {len(data)} < {need}")
-    import numpy as np
-
-    return w, h, float(np.frombuffer(data, dtype=np.uint8).mean()) if need else (w, h, 0.0)
+    mean = float(np.frombuffer(data, dtype=np.uint8).mean()) if need else 0.0
+    return w, h, mean
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -339,9 +346,11 @@ def resize_images(
                 px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp).reshape(h, w, bpp)
                 return px[:, :, :3] if bpp >= 3 else px[:, :, :1]
             if blob[:2] in (b"P5", b"P6"):
-                w, h, _ = _decode_ppm(blob)
-                c = 3 if blob[:2] == b"P6" else 1
-                data = blob[-w * h * c :]
+                w, h, c, pos = _parse_ppm_header(blob)
+                need = w * h * c
+                data = blob[pos : pos + need]
+                if len(data) < need:
+                    raise ValueError("truncated netpbm payload")
                 return np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
             raise NotImplementedError("resize supports PNG and netpbm payloads")
 

@@ -579,23 +579,33 @@ class LakeTable:
         every commit after ``since_version`` that changed data, in commit
         order — the consumption loop a downstream CDC-out subscriber runs
         (each yielded frame is ``read_changes(v-1, v)``: that commit's
-        delta only). Metadata-only commits (ACL changes) and maintenance
-        rewrites that don't advance the LSN watermark (compact/rebucket)
-        yield nothing. Returns when caught up with the current version;
-        callers poll by re-invoking from the last yielded version (the
-        retention contract raises if they fall behind a history break or
-        the vacuum window — see :meth:`read_changes`)."""
+        delta only). Metadata-only commits (ACL changes) and
+        watermark-neutral maintenance rewrites (compact/rebucket) yield
+        nothing; every DATA commit — including bulk appends and history
+        breaks — goes through :meth:`read_changes`, so the retention and
+        ``on_bulk`` contracts raise here exactly as for a direct windowed
+        read (a tailing consumer can never silently miss a backfill).
+        Returns when caught up with the current version; callers poll by
+        re-invoking from the last yielded version."""
         current = self.manifest()["version"]
         prev = since_version
         for v in range(since_version + 1, current + 1):
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+                wm_prev = self.manifest(prev).get("lsn_watermark")
+            except FileNotFoundError:
+                raise ValueError(
+                    f"changelog tail from since_version={since_version} "
+                    f"spans version(s) vacuumed out of the retention window "
+                    f"(at or near v={v}); resync from a full snapshot "
+                    f"read() and restart the tail from a retained version."
+                ) from None
             op = m["summary"].get("operation")
             if op == "alter-acl":
                 prev = v
                 continue
-            wm_prev = self.manifest(prev).get("lsn_watermark")
-            if m.get("lsn_watermark") == wm_prev and op not in ("overwrite", "truncate"):
-                prev = v  # nothing new past the watermark (compact/rebucket/no-op)
+            if op in ("compact", "rebucket") and m.get("lsn_watermark") == wm_prev:
+                prev = v  # state-preserving rewrite: nothing past the watermark
                 continue
             df = self.read_changes(prev, to_version=v, on_bulk=on_bulk)
             yield v, df, dict(m["summary"])

@@ -450,7 +450,13 @@ def contaminated_doc_ids(
     """
     bench_sh = _shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
     if broadcast_benchmark is None:
-        broadcast_benchmark = _small_relation(benchmark, 64 * 1024 * 1024)
+        # what broadcasts is the EXPLODED shingle relation, ~n× the raw
+        # benchmark text (every word starts an n-word shingle), so the
+        # size probe runs against a threshold shrunk by n — auto-off
+        # before the broadcast side can approach unsafe sizes
+        broadcast_benchmark = _small_relation(
+            benchmark, (64 * 1024 * 1024) // max(n, 1)
+        )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     doc_sh = _shingles(docs, text_col, id_col, n)

@@ -143,7 +143,13 @@ def main(argv: list[str] | None = None) -> dict:
         elif op == "vacuum":
             summary = table.vacuum()
         elif op.startswith("rebucket:"):
-            summary = table.rebucket(int(op.split(":", 1)[1]))
+            try:
+                n = int(op.split(":", 1)[1])
+            except ValueError:
+                p.error(f"--maintain rebucket:N needs an integer bucket count, got {op!r}")
+            if n < 1:
+                p.error(f"--maintain rebucket:N needs N >= 1, got {n}")
+            summary = table.rebucket(n)
         else:
             p.error(f"unknown --maintain op {op!r}")
         out = {"mode": "maintain", "op": op, **summary, "checksum": str(table.checksum())}

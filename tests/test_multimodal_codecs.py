@@ -135,6 +135,28 @@ def test_decode_images_real_formats_and_poison(spark, rgb):
     assert out[5]["decode_error"].startswith("NotImplementedError")
 
 
+def test_zero_area_and_trailing_bytes_netpbm(spark):
+    """Review findings: a zero-area netpbm must be a clean decode (not a
+    tuple-typed mean that kills the Arrow batch), and trailing bytes after
+    the raster (some writers append a newline) must not shift pixels in
+    either decode or resize."""
+    assert MM._decode_ppm(b"P5\n0 2\n255\n") == (0, 2, 0.0)
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    trailing = MM.encode_ppm(px) + b"\n"
+    w, h, mean = MM._decode_ppm(trailing)
+    assert (w, h) == (2, 2) and mean == pytest.approx(float(px.mean()))
+    df = spark.createDataFrame(
+        [(1, b"P5\n0 2\n255\n"), (2, trailing)], "id long, blob binary"
+    )
+    out = {r["id"]: r for r in MM.decode_images(df).collect()}
+    assert out[1]["decode_error"] is None and out[1]["mean_pixel"] == 0.0
+    assert out[2]["decode_error"] is None
+    resized = {r["id"]: r["blob"] for r in MM.resize_images(df, 2, 2).collect()}
+    w2, h2, mean2 = MM._decode_ppm(bytes(resized[2]))
+    # nearest-neighbor at same size = identity: byte-exact pixel means
+    assert (w2, h2) == (2, 2) and mean2 == pytest.approx(float(px.mean()))
+
+
 def test_decode_audio_wav_and_poison(spark):
     samples = (np.sin(np.linspace(0, 20, 400)) * 1000).astype(np.int16)
     rows = [

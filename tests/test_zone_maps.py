@@ -325,6 +325,22 @@ def test_iter_changes_tails_per_commit_deltas(spark, tmp_path):
     assert out[0][2]["operation"] == "merge"
     # caught up: nothing more
     assert list(t.iter_changes(t.manifest()["version"])) == []
+    # a bulk append inside the tail window raises per the on_bulk contract
+    # (review finding: the tailing loop must not silently skip backfills)
+    v_pre = t.manifest()["version"]
+    t.write(
+        spark.createDataFrame([("x1", [1], 1, "s")],
+                              "doc_id string, tokens array<int>, n_tok int, source string"),
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="bulk-append"):
+        list(t.iter_changes(v_pre))
+    assert [v for v, _, _ in t.iter_changes(v_pre, on_bulk="ignore")] == [v_pre + 1]
+    # a vacuumed resume point raises the retention error, not FileNotFoundError
+    t.merge(_batch(spark, [("k0", [8], 8, "s", "U", 99)]), epoch_id=3, lsn_col="lsn", op_col="op")
+    t.vacuum(keep_last_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        list(t.iter_changes(v_pre))
 
 
 def test_changelog_surfaces_evolved_columns(spark, tmp_path):
