@@ -124,13 +124,16 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int, stride: int | None = None):
     """Reverse the PNG scanline filters (spec §9): each scanline is one
-    filter-type byte + width*bpp filtered bytes. Sequential by construction
-    (Up/Average/Paeth reference the prior row) — vectorized within a row."""
+    filter-type byte + ``stride`` filtered bytes (``width*bpp`` unless the
+    pixels are sub-byte packed, i.e. palette depth < 8). Sequential by
+    construction (Up/Average/Paeth reference the prior row) — vectorized
+    within a row."""
     import numpy as np
 
-    stride = width * bpp
+    if stride is None:
+        stride = width * bpp
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -166,17 +169,25 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
     return out
 
 
-def _decode_png(blob: bytes) -> tuple[int, int, float]:
-    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA), from the
-    public spec: chunk walk → IHDR geometry → concatenated IDAT inflate →
-    scanline un-filter. Palette/16-bit/interlaced raise NotImplementedError
-    (honest boundary), malformed data raises ValueError (poison row)."""
+def _png_pixels(blob: bytes):
+    """Non-interlaced PNG → (h, w, c) uint8 pixel array, from the public
+    spec: chunk walk (stops at IEND — bytes trailing a valid stream are
+    ignored, matching every mainstream decoder) → IHDR geometry →
+    concatenated IDAT inflate → scanline un-filter → palette expansion.
+
+    Supported: 8-bit gray / gray+alpha / RGB / RGBA (color types 0/2/4/6)
+    and palette (type 3) at depths 1/2/4/8 expanded through PLTE to RGB.
+    16-bit / interlaced raise NotImplementedError (honest boundary);
+    malformed data raises ValueError (poison row)."""
+    import numpy as np
+
     if blob[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
     pos = 8
     width = height = None
     bit_depth = color_type = None
     idat = bytearray()
+    plte = None
     n = len(blob)
     while pos + 8 <= n:
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
@@ -190,10 +201,18 @@ def _decode_png(blob: bytes) -> tuple[int, int, float]:
             )
             if interlace != 0:
                 raise NotImplementedError("interlaced PNG not supported")
-            if bit_depth != 8:
-                raise NotImplementedError(f"PNG bit depth {bit_depth} not supported")
-            if color_type not in (0, 2, 4, 6):
+            if color_type in (0, 2, 4, 6):
+                if bit_depth != 8:
+                    raise NotImplementedError(f"PNG bit depth {bit_depth} not supported")
+            elif color_type == 3:
+                if bit_depth not in (1, 2, 4, 8):
+                    raise ValueError(f"invalid palette bit depth {bit_depth}")
+            else:
                 raise NotImplementedError(f"PNG color type {color_type} not supported")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -203,10 +222,39 @@ def _decode_png(blob: bytes) -> tuple[int, int, float]:
         raise ValueError("PNG missing IHDR")
     if not idat:
         raise ValueError("PNG missing IDAT")
-    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = (width * samples * bit_depth + 7) // 8
+    bpp = max(1, (samples * bit_depth) // 8)  # filter unit, spec §9
     raw = zlib.decompress(bytes(idat))
-    px = _png_unfilter(raw, width, height, bpp)
-    return width, height, float(px.mean()) if px.size else 0.0
+    rows = _png_unfilter(raw, width, height, bpp, stride=stride)
+    if color_type != 3:
+        return rows.reshape(height, width, samples)
+    # palette: unpack sub-byte indices (MSB-first per spec), then look up
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if bit_depth == 8:
+        idx = rows
+    elif bit_depth == 4:
+        idx = np.repeat(rows, 2, axis=1)
+        idx[:, 0::2] >>= 4
+        idx[:, 1::2] &= 0x0F
+    elif bit_depth == 2:
+        idx = np.repeat(rows, 4, axis=1)
+        for k, shift in enumerate((6, 4, 2, 0)):
+            idx[:, k::4] = (idx[:, k::4] >> shift) & 0x03
+    else:  # 1-bit
+        idx = np.unpackbits(rows, axis=1)
+    idx = idx[:, :width]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    return plte[idx]  # (h, w, 3)
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, float]:
+    """PNG metadata decode: (width, height, mean over all channels)."""
+    px = _png_pixels(blob)
+    h, w = px.shape[:2]
+    return w, h, float(px.mean()) if px.size else 0.0
 
 
 def _decode_image_bytes(blob: bytes | None) -> tuple[int, int, float]:
@@ -228,18 +276,21 @@ def _decode_image_bytes(blob: bytes | None) -> tuple[int, int, float]:
     )
 
 
-def encode_ppm(pixels, channels: int = 3) -> bytes:
+def encode_ppm(pixels, channels: int | None = None) -> bytes:
     """Encode a (h, w) or (h, w, c) uint8 array as binary netpbm — the
-    engine's canonical re-encode target (resize output)."""
+    engine's canonical re-encode target (resize output). ``channels``, if
+    given, must match the array's channel count (it never overrides it)."""
     import numpy as np
 
     a = np.asarray(pixels, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
-    magic = b"P6" if c == 3 else b"P5"
     if c not in (1, 3):
         raise ValueError(f"netpbm supports 1 or 3 channels, got {c}")
+    if channels is not None and channels != c:
+        raise ValueError(f"channels={channels} does not match array shape {a.shape}")
+    magic = b"P6" if c == 3 else b"P5"
     return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
@@ -331,20 +382,11 @@ def resize_images(
 
         def px_of(blob: bytes):
             if blob[:8] == _PNG_SIG:
-                # re-run the un-filter to pixels, then collapse alpha
-                w, h, _ = _decode_png(blob)  # validates
-                pos, idat, meta = 8, bytearray(), {}
-                while pos + 8 <= len(blob):
-                    (length,) = struct.unpack(">I", blob[pos : pos + 4])
-                    ctype = blob[pos + 4 : pos + 8]
-                    if ctype == b"IHDR":
-                        meta["ct"] = blob[pos + 8 + 9]
-                    elif ctype == b"IDAT":
-                        idat.extend(blob[pos + 8 : pos + 8 + length])
-                    pos += 12 + length
-                bpp = {0: 1, 2: 3, 4: 2, 6: 4}[meta["ct"]]
-                px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp).reshape(h, w, bpp)
-                return px[:, :, :3] if bpp >= 3 else px[:, :, :1]
+                # one shared decode path with decode_images (same chunk walk,
+                # same IEND stop, same poison behavior), then collapse alpha
+                px = _png_pixels(blob)
+                c = px.shape[2]
+                return px[:, :, :3] if c >= 3 else px[:, :, :1]
             if blob[:2] in (b"P5", b"P6"):
                 w, h, c, pos = _parse_ppm_header(blob)
                 need = w * h * c

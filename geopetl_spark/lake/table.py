@@ -165,7 +165,17 @@ class LakeTable:
         version see exactly one winner; the loser gets CommitConflict and
         must re-read the table and retry its operation (same contract as
         Iceberg's atomic swap). The pointer swap after that is atomic."""
-        manifest["committed_at"] = time.time()  # commit-time stamp (time travel by ts)
+        # Commit-time stamp for timestamp time travel.  Clamped to the
+        # parent's stamp so committed_at is monotone in version even across
+        # a wall-clock step backwards (Iceberg snapshot-log semantics:
+        # version_as_of picks max version with stamp <= ts, which requires
+        # stamps ordered like versions).
+        parent_at = 0.0
+        try:
+            parent_at = float(self.manifest().get("committed_at") or 0.0)
+        except FileNotFoundError:
+            pass  # first commit: no current pointer yet
+        manifest["committed_at"] = max(time.time(), parent_at)
         mpath = self._manifest_path(manifest["version"])
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -200,6 +210,11 @@ class LakeTable:
         manifest window (vacuum prunes old manifests, so travel reaches
         only what retention kept; a ts before the window raises)."""
         best = None
+        # Clamp to the committed pointer: _publish writes the manifest file
+        # BEFORE the atomic pointer swap that defines the commit point, so a
+        # writer crashed (or observed) in between leaves a complete manifest
+        # for a never-committed version.  Never resolve past the pointer.
+        committed = self.manifest()["version"]
         for name in sorted(os.listdir(self.manifest_dir)):
             if not (name.startswith("manifest-") and name.endswith(".json")):
                 continue
@@ -208,6 +223,8 @@ class LakeTable:
                     m = json.load(fh)
             except json.JSONDecodeError:
                 continue  # in-flight concurrent commit
+            if m["version"] > committed:
+                continue  # manifest published but pointer swap never happened
             at = m.get("committed_at")
             if at is not None and at <= ts and (best is None or m["version"] > best):
                 best = m["version"]
@@ -757,11 +774,22 @@ class LakeTable:
             raise ValueError("refusing to write empty input (fail_on_empty=True)")
         m = self.manifest()
         new_schema = schema_mod.evolve_schema(self.schema(), _user_schema(df))
-        df = _conform(df, new_schema)
+        # A caller-provided _lsn survives the conform: an LSN-carrying
+        # append (backfill loaded with synthetic LSNs) advances the
+        # watermark and surfaces in the changelog like merged rows do, so
+        # it is NOT recorded as a bulk-blind version below. Other system
+        # columns are always re-derived.
+        lsn_synthesized = LSN_COL not in df.columns
+        if not lsn_synthesized:
+            df = df.select(
+                *[c for c in df.columns if c not in _SYSTEM_COLS],
+                F.col(LSN_COL).cast("long").alias(LSN_COL),
+            )
+        df = _conform(df, new_schema, keep_system=not lsn_synthesized)
         n_buckets = m["n_buckets"]
         key = m["key_col"]
         staged = df.withColumn(BUCKET_COL, self._bucket_expr(key, n_buckets))
-        if LSN_COL not in df.columns:
+        if lsn_synthesized:
             staged = staged.withColumn(LSN_COL, F.lit(None).cast("long"))
         staged = staged.withColumn(DELETED_COL, F.lit(False))
         version = m["version"] + 1
@@ -808,7 +836,12 @@ class LakeTable:
         if mode == "overwrite":
             new_m["changelog_min_version"] = version
             new_m["changelog_min_reason"] = "write(mode='overwrite') full refresh"
-        else:
+        elif lsn_synthesized:
+            # Only LSN-less appends are invisible to the changelog.  When the
+            # caller's DataFrame already carries _lsn the appended rows DO
+            # surface in read_changes (and advance the watermark), so marking
+            # the version bulk would raise a false-positive on a window that
+            # is actually complete.
             new_m["bulk_write_versions"] = sorted(
                 set(int(v) for v in m.get("bulk_write_versions", [])) | {version}
             )

@@ -618,12 +618,19 @@ def ivf_train_centroids(
       kernels as :func:`ivf_assign` — bit-identical dots) and emits one
       (centroid, count, sum-vector) row PER BATCH — the map-side combine.
       The corpus never shuffles.
-    * **driver reduce over k·n_batches tiny rows**: partials are reduced in
-      sorted (centroid, batch-key) order — a fixed summation order, so the
-      result is deterministic for a fixed input file layout — then
-      L2-normalized (spherical k-means: centroids live on the unit sphere
-      like the vectors they summarize). Empty clusters keep their previous
-      centroid.
+    * **driver reduce over k·n_batches tiny rows.**
+
+    Cross-engine exactness (round 6 — the ``embed_ivf_trained`` oracle):
+    each row's unit vector is quantized per component to a scaled INT64
+    (``floor(u*1e9 + 0.5)``) before summation, so cluster partial sums are
+    exact integers — associative, commutative, independent of Arrow batch
+    boundaries and reduce order — and a SQL engine summing the identical
+    per-row integers reproduces the centroids bit-for-bit (the unquantized
+    kernels — sequential-fold norm and dot — already match DuckDB's
+    ``list_dot_product``, proven by the hash-green cosine queries; the
+    assignment comparator uses the same ``floor(s*1e6 + 0.5)`` rule both
+    sides). New centroid = mean of quantized units, L2-renormalized
+    (spherical k-means). Empty clusters keep their previous centroid.
 
     Returns the same one-row literal shape as :func:`ivf_centroid_array`
     (``cid`` = 0..k-1), directly usable as ``ivf_topk(centroids=...)``.

@@ -246,3 +246,83 @@ def test_golden_roundtrip_field_by_field(spark, tmp_path):
                 assert (got[field] or []) == want, field  # token-array equality
             else:
                 assert got[field] == want, (k, field)
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_version_as_of_ignores_uncommitted_manifest(merged_table):
+    """Advisor r5: _publish writes the manifest file BEFORE the pointer
+    swap that defines the commit point. A crash in between leaves a
+    complete manifest for a never-committed version — time travel must
+    clamp to the pointer, never resolve past it."""
+    import json as _json
+    import time as _time
+
+    t = merged_table
+    committed = t.manifest()["version"]
+    orphan = dict(t.manifest())
+    orphan["version"] = committed + 1
+    orphan["committed_at"] = _time.time()
+    with open(t._manifest_path(committed + 1), "w") as fh:
+        _json.dump(orphan, fh)
+    try:
+        assert t.version_as_of(_time.time() + 3600) == committed
+        assert t.read(as_of_ts=_time.time() + 3600).count() == t.read().count()
+    finally:
+        os.unlink(t._manifest_path(committed + 1))
+
+
+def test_committed_at_monotone_across_clock_step(spark, tmp_path, monkeypatch):
+    """Advisor r5: a wall-clock step backwards between commits must not
+    produce non-monotone committed_at stamps (version_as_of picks max
+    version with stamp <= ts, which requires stamps ordered like
+    versions)."""
+    import time as real_time
+
+    from geopetl_spark.lake import table as table_mod
+
+    t = LakeTable(spark, str(tmp_path / "lake")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    ev = generate_cdc_events(spark, 600, n_keys=50, events_per_epoch=200)
+    base = real_time.time()
+    clock = {"now": base}
+    monkeypatch.setattr(table_mod.time, "time", lambda: clock["now"])
+    t.merge(ev.filter(F.col("epoch") == 0), epoch_id=0)
+    clock["now"] = base - 500.0  # NTP step backwards
+    t.merge(ev.filter(F.col("epoch") == 1), epoch_id=1)
+    clock["now"] = base + 100.0
+    t.merge(ev.filter(F.col("epoch") == 2), epoch_id=2)
+    hist = sorted(t.history(), key=lambda h: h["version"])
+    stamps = [h["committed_at"] for h in hist if h["committed_at"] is not None]
+    assert stamps == sorted(stamps), stamps
+    # and as-of at the (clamped) middle stamp resolves to the middle version
+    v_mid = hist[-2]["version"]
+    assert t.version_as_of(hist[-2]["committed_at"]) == v_mid
+
+
+def test_bulk_append_with_lsn_is_changelog_visible(spark, tmp_path):
+    """Advisor r5: write(mode='append') whose input already carries _lsn
+    DOES surface in the changelog (the watermark advances from it), so it
+    must not be recorded as a bulk-blind version; an LSN-less append still
+    must be."""
+    t = LakeTable(spark, str(tmp_path / "lake")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    ev = generate_cdc_events(spark, 400, n_keys=40, events_per_epoch=200)
+    t.merge(ev.filter(F.col("epoch") == 0), epoch_id=0)
+    v0 = t.manifest()["version"]
+
+    rows = spark.createDataFrame(
+        [("bk-%d" % i, [i, i + 1], 2, "backfill") for i in range(10)], DOC_SCHEMA
+    ).withColumn("_lsn", (F.lit(10_000_000) + F.monotonically_increasing_id()).cast("long"))
+    t.write(rows, mode="append")
+    v1 = t.manifest()["version"]
+    assert v1 not in t.manifest().get("bulk_write_versions", [])
+    # the window spanning the LSN-carrying append is complete, not an error
+    changed = t.read_changes(v0).select("doc_id").distinct().count()
+    assert changed == 10
+
+    lsnless = spark.createDataFrame([("nolsn-1", [1], 1, "bulk")], DOC_SCHEMA)
+    t.write(lsnless, mode="append")
+    v2 = t.manifest()["version"]
+    assert v2 in t.manifest()["bulk_write_versions"]
+    with pytest.raises(ValueError, match="bulk-append"):
+        t.read_changes(v1)

@@ -190,3 +190,84 @@ def test_resize_real_nearest_neighbor(spark):
         w, h, mean = MM._decode_ppm(out[i])
         assert (w, h) == (2, 2)
         assert mean == pytest.approx((10 + 60 + 120 + 240) / 4)
+
+# ---------------------------------------------------------------- round 6
+
+
+def _png_palette(idx, palette, bit_depth=8):
+    """Reference palette-PNG encoder (color type 3, filter 0, MSB-first
+    sub-byte packing per spec) — independent of the decoder under test."""
+    idx = np.asarray(idx, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    h, w = idx.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter None
+        bits = ((idx[y][:, None] >> np.arange(bit_depth - 1, -1, -1)) & 1).reshape(-1)
+        raw.extend(np.packbits(bits).tobytes())
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("bit_depth", [1, 2, 4, 8])
+def test_png_palette_roundtrip(bit_depth):
+    """Palette PNGs (PLTE lookup) at every legal sub-byte depth decode to
+    the exact expanded RGB pixels, including non-byte-aligned widths."""
+    rng = np.random.RandomState(bit_depth)
+    n_colors = 2**bit_depth
+    pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.randint(0, n_colors, size=(5, 7), dtype=np.uint8)  # w=7: pad path
+    blob = _png_palette(idx, pal, bit_depth)
+    px = MM._png_pixels(blob)
+    assert px.shape == (5, 7, 3)
+    assert np.array_equal(px, pal[idx])
+    w, h, mean = MM._decode_png(blob)
+    assert (w, h) == (7, 5) and mean == pytest.approx(float(pal[idx].astype(np.float64).mean()))
+
+
+def test_png_palette_poison_paths():
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    idx = np.zeros((2, 2), np.uint8)
+    blob = _png_palette(idx, pal, 8)
+    # strip the PLTE chunk -> ValueError (poison row), not a crash
+    plte_at = blob.index(b"PLTE") - 4
+    no_plte = blob[:plte_at] + blob[plte_at + 12 + 24 :]
+    with pytest.raises(ValueError):
+        MM._png_pixels(no_plte)
+    # index beyond palette -> ValueError
+    idx_bad = np.full((2, 2), 7, np.uint8)
+    short_pal = pal[:4]
+    with pytest.raises(ValueError):
+        MM._png_pixels(_png_palette(idx_bad, short_pal, 8))
+
+
+def test_png_trailing_bytes_consistent_decode_and_resize(spark, rgb):
+    """Advisor r5: bytes after IEND must not poison resize when decode
+    succeeds — both paths share one chunk walk now."""
+    blob = _png(rgb, filters=[1]) + b"\x00garbage after IEND\xff" * 3
+    w, h, mean = MM._decode_png(blob)
+    assert (w, h) == (9, 13)
+    df = spark.createDataFrame([(1, blob)], "id long, blob binary")
+    out = MM.resize_images(df, 4, 4).collect()[0]
+    assert out["blob"] is not None  # previously silently nulled
+    w2, h2, _ = MM._decode_ppm(bytes(out["blob"]))
+    assert (w2, h2) == (4, 4)
+
+
+def test_encode_ppm_channel_validation(rgb):
+    with pytest.raises(ValueError):
+        MM.encode_ppm(rgb, channels=1)  # (13,9,3) with channels=1: no silent P6
+    with pytest.raises(ValueError):
+        MM.encode_ppm(np.zeros((2, 2, 2), np.uint8))  # 2 channels: checked first
+    assert MM.encode_ppm(rgb, channels=3)[:2] == b"P6"
+    assert MM.encode_ppm(rgb[:, :, 0], channels=1)[:2] == b"P5"
