@@ -814,12 +814,76 @@ def _q_embed_ivf_trained(spark, sf):
     """IVF search over SPHERICAL-K-MEANS-TRAINED centroids
     (`ann.ivf_train_centroids`: distributed partial-sum Lloyd iterations,
     corpus never shuffles) — the quality upgrade over the seeded index.
-    No SQL oracle: the trainer's float summation order follows the Arrow
-    batch layout, which DuckDB cannot replicate bit-for-bit; the driver
-    records the rows-only check, and `tests/test_text_clean_ivf.py`
-    asserts trained recall ≥ seeded recall against the exact
+    Fully oracled since round 6: the trainer quantizes each unit vector to
+    scaled INT64 before summation (cluster sums are exact integers —
+    order-free, Arrow-layout-free) and uses a floor(s*1e6+0.5) assignment
+    comparator, so `_ivf_trained_oracle_sql` can replay the Lloyd
+    iterations verbatim in DuckDB (unrolled CTE chain). Recall quality is
+    separately asserted by `tests/test_text_clean_ivf.py` against the exact
     `cosine_topk` ground truth (recall rows in BENCH/BASELINE.md)."""
     return _ivf_search(spark, sf, "trained")
+
+
+def _ivf_trained_oracle_sql(k: int = 8, n_iter: int = 5) -> str:
+    """DuckDB replay of `ann.ivf_train_centroids` + `ivf_topk` search.
+
+    Exactness argument (mirrors the trainer's docstring): unit vectors are
+    bit-identical across engines (same IEEE ops in the same sequential
+    order — numpy cumsum fold == DuckDB's list_dot_product fold, already
+    proven by the hash-green cosine queries); per-component INT64
+    quantization `floor(u*1e9+0.5)` then makes every cluster sum an exact
+    integer, so the reduce is associative and engine-independent; the new
+    centroid applies the fixed op order `(sum/n)/1e9` then L2-renormalizes
+    (every row, including carried-over empty-cluster centroids — matching
+    `_np_unit(new)` on the full matrix). Assignment tie discipline both
+    sides: quantized sim desc, cid asc."""
+    Q9 = "1000000000.0"  # == ann._IVF_QUANT
+    ctes = [
+        "E as (select vec_id, embedding::DOUBLE[] v from embeddings)",
+        "N as (select vec_id, v, sqrt(list_dot_product(v, v)) nrm from E)",
+        "U as (select vec_id, list_transform(v, x -> x / nrm) u from N)",
+        f"QU as (select vec_id, u, list_transform(u, x -> CAST(floor(x * {Q9} + 0.5) AS BIGINT)) qi from U)",
+        f"CEN0 as (select row_number() over (order by vec_id) - 1 cid, u cu"
+        f" from (select vec_id, u from U order by vec_id limit {k}))",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"CEN{i - 1}"
+        ctes += [
+            f"""A{i} as (
+              select vec_id, qi, cid from (
+                select q.vec_id, q.qi, c.cid,
+                       row_number() over (partition by q.vec_id
+                         order by floor(list_dot_product(q.u, c.cu) * 1000000.0 + 0.5) desc,
+                                  c.cid asc) rn
+                from QU q cross join {p} c) where rn = 1)""",
+            f"""S{i} as (
+              select cid, idx, sum(val) s
+              from (select cid, unnest(qi) as val, unnest(range(1, len(qi) + 1)) as idx from A{i})
+              group by cid, idx)""",
+            f"CNT{i} as (select cid, count(*) n from A{i} group by cid)",
+            f"""NEWR{i} as (
+              select s.cid, list((CAST(s.s AS DOUBLE) / c.n) / {Q9} order by s.idx) raw
+              from S{i} s join CNT{i} c using (cid) group by s.cid, c.n)""",
+            f"RAW{i} as (select p.cid, coalesce(w.raw, p.cu) raw from {p} p left join NEWR{i} w using (cid))",
+            f"CEN{i} as (select cid, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) cu from RAW{i})",
+        ]
+    # search replay == the seeded embed_ivf_ann oracle, centroids swapped
+    ctes += [
+        f"""ASSIGN as (
+          select u.vec_id, u.u, c.cid,
+                 row_number() over (partition by u.vec_id
+                   order by round(list_dot_product(u.u, c.cu), 6) desc, c.cid asc) rn
+          from U u cross join CEN{n_iter} c)""",
+        "C as (select vec_id neighbor_id, u cu2, cid from ASSIGN where rn = 1)",
+        "QP as (select vec_id query_id, u qu, cid from ASSIGN where rn <= 2 and vec_id < 20)",
+        """scored as (select query_id, neighbor_id,
+                             round(list_dot_product(qu, cu2), 6) similarity
+                      from QP join C using (cid) where query_id != neighbor_id)""",
+        """ranked as (select *, row_number() over (partition by query_id
+                             order by similarity desc, neighbor_id asc) rank from scored)""",
+    ]
+    return ("with " + ",\n".join(ctes)
+            + "\nselect query_id, neighbor_id, similarity, rank from ranked where rank <= 5")
 
 
 # ---------------------------------------------------------------------------
@@ -1010,6 +1074,9 @@ def oracle_sql() -> dict[str, str]:
     # identical result set: the warm entry re-runs the IVF search on the
     # memoized index (bench separates index-build cost from search cost)
     d["embed_ivf_ann_warm"] = d["embed_ivf_ann"]
+    # round 6: the trained-IVF search gets a full hash-checked oracle —
+    # the Lloyd iterations replay in DuckDB as an unrolled CTE chain
+    d["embed_ivf_trained"] = _ivf_trained_oracle_sql()
     return d
 
 

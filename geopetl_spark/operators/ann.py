@@ -557,6 +557,13 @@ def ivf_centroid_array(
     )
 
 
+# unit-vector quantization scale for the k-means trainer: floor(u*1e9+0.5)
+# per component. |q| <= 1e9, so INT64 cluster sums stay exact up to ~9.2e9
+# member rows — far beyond any training sample; integer sums make the
+# reduce order-free and the whole trainer SQL-replayable.
+_IVF_QUANT = 1e9
+
+
 def _centroid_sims(unit_col, centroids_col):
     """array<struct<s, negcid>> of rounded cosine sims against every
     centroid. negcid makes array_max/array_sort break similarity ties toward
@@ -652,9 +659,8 @@ def ivf_train_centroids(
     out_schema = T.StructType(
         [
             T.StructField("_cid", T.IntegerType()),
-            T.StructField("_key", T.StringType()),
             T.StructField("_n", T.LongType()),
-            T.StructField("_sum", T.ArrayType(T.DoubleType())),
+            T.StructField("_sum", T.ArrayType(T.LongType())),
         ]
     )
 
@@ -672,28 +678,35 @@ def ivf_train_centroids(
                 sims = np.empty((len(pdf), len(planes)), dtype=np.float64)
                 for j in range(len(planes)):
                     sims[:, j] = _np_seq_dot(u, planes[j][None, :])
-                # same tie discipline as ivf_assign: round6 desc, cid asc
-                # (argmax returns the FIRST max -> smallest centroid id)
-                assign = np.argmax(np.round(sims, 6), axis=1)
-                key = str(pdf[id_col].astype(str).min())  # stable batch key
+                # quantized comparator (floor(s*1e6+0.5) desc, cid asc) —
+                # round-half-up on BOTH engines, no half-even ambiguity;
+                # argmax returns the FIRST max -> smallest centroid id
+                assign = np.argmax(np.floor(sims * 1e6 + 0.5), axis=1)
+                # per-component round-half-up INT64 quantization of the unit
+                # vector: cluster sums become exact integers — associative,
+                # commutative, invariant to Arrow batch layout and reduce
+                # order, and replayable by any SQL engine
+                q = np.floor(u * _IVF_QUANT + 0.5).astype(np.int64)
                 rows = []
                 for cid in np.unique(assign):
                     mask = assign == cid
-                    rows.append((int(cid), key, int(mask.sum()), list(u[mask].sum(axis=0))))
-                yield pd.DataFrame(rows, columns=["_cid", "_key", "_n", "_sum"])
+                    rows.append((int(cid), int(mask.sum()), [int(x) for x in q[mask].sum(axis=0)]))
+                yield pd.DataFrame(rows, columns=["_cid", "_n", "_sum"])
 
         parts = corpus.mapInPandas(partials, schema=out_schema).collect()
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
-        for r in sorted(parts, key=lambda r: (r["_cid"], r["_key"])):
+        for r in parts:  # integer sums: order-free
             c = int(r["_cid"])
-            vec = np.asarray(r["_sum"], dtype=np.float64)
-            sums[c] = sums.get(c, 0.0) + vec
+            vec = np.asarray(r["_sum"], dtype=np.int64)
+            sums[c] = sums.get(c, 0) + vec
             counts[c] = counts.get(c, 0) + int(r["_n"])
         new = cmat.copy()
         for c, s in sums.items():
             if counts[c] > 0:
-                new[c] = s / counts[c]
+                # fixed op order (sum/n)/SCALE, mirrored verbatim in the
+                # DuckDB oracle (__spark_entry__._ivf_trained_oracle_sql)
+                new[c] = (s.astype(np.float64) / counts[c]) / _IVF_QUANT
         cmat = _np_unit(new)
 
     lit = [(int(c), [float(x) for x in cmat[c]]) for c in range(len(cmat))]
