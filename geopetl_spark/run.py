@@ -18,6 +18,7 @@ import time
 
 from pyspark.sql import types as T
 
+from .lake.cursor import ConsumerCursor
 from .lake.table import LakeTable
 from .session import get_spark
 from .sources.cdc_gen import write_cdc_log
@@ -71,6 +72,19 @@ def main(argv: list[str] | None = None) -> dict:
         "exit when caught up — the CDC-out subscriber loop at the CLI",
     )
     p.add_argument(
+        "--cursor", default=None, metavar="PATH",
+        help="durable consumer cursor for --follow: resume the tail from "
+        "the version recorded at PATH (the --follow VERSION only seeds a "
+        "missing cursor); advanced atomically after each emitted commit, "
+        "so a killed tail resumes where it left off",
+    )
+    p.add_argument(
+        "--max-commits", type=int, default=None, metavar="N",
+        help="stop the --follow tail after emitting N commits (bounded "
+        "consumption; with --cursor this deterministically models a "
+        "consumer killed mid-stream)",
+    )
+    p.add_argument(
         "--maintain", default=None, metavar="OP",
         help="maintenance mode: run one table operation and exit — "
         "'compact', 'compact-drop-tombstones', 'vacuum', or 'rebucket:N' "
@@ -119,8 +133,14 @@ def main(argv: list[str] | None = None) -> dict:
     if args.follow is not None:
         if not table.exists():
             p.error(f"no lake table at {args.table}")
+        cursor = ConsumerCursor(args.cursor) if args.cursor else None
+        start = args.follow
+        if cursor is not None:
+            held = cursor.load()
+            if held is not None:
+                start = held  # cursor wins; --follow only seeds a fresh one
         results = []
-        for v, ch, summary in table.iter_changes(args.follow, on_bulk=args.changes_on_bulk):
+        for v, ch, summary in table.iter_changes(start, on_bulk=args.changes_on_bulk):
             n_del = ch.filter("_deleted").count()
             row = {
                 "mode": "follow",
@@ -129,8 +149,15 @@ def main(argv: list[str] | None = None) -> dict:
                 "changed_rows": ch.count(),
                 "delete_tombstones": n_del,
             }
-            print(json.dumps(row))
+            print(json.dumps(row), flush=True)
             results.append(row)
+            if cursor is not None:
+                # commit-after-process: v is durably acked only once its
+                # line is out; a kill inside this window re-emits v on
+                # resume (at-least-once on the boundary, never loss)
+                cursor.advance(v)
+            if args.max_commits is not None and len(results) >= args.max_commits:
+                break
         return {"mode": "follow", "commits": results}
     if args.maintain is not None:
         if not table.exists():
