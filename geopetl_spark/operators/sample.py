@@ -119,6 +119,12 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
     return df.filter(hash_bucket(F.col(id_col)) < F.lit(cutoff))
 
 
+# above this many named groups the chained CASE WHEN plan (one branch per
+# group, evaluated per row) gives way to a broadcast join against a tiny
+# fractions table — O(1) plan size however large the mixture config grows
+_STRATIFY_JOIN_THRESHOLD = 64
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -131,14 +137,39 @@ def stratified_sample(
     (e.g. ``{"wiki": 1.0, "web": 0.1}``). Same hash-bucket construction as
     :func:`deterministic_sample`, so membership is stable under growth,
     repartitioning, and engine ports; groups not named keep
-    ``default_fraction``. A pure per-row projection + filter — no shuffle,
-    no per-group scans, one pass whatever the group count."""
+    ``default_fraction``.
+
+    Two physically different plans, identical membership:
+
+    * few named groups (≤ ``_STRATIFY_JOIN_THRESHOLD``): a chained
+      ``CASE WHEN`` cutoff — a pure per-row projection + filter, no
+      shuffle, no second relation in the plan;
+    * many groups (thousands of sources in a production mixture): a
+      **broadcast left join** against a (group, cutoff) literal table —
+      the per-row work stays O(1) hash-probe instead of O(groups) branch
+      evaluation, and the plan no longer grows with the config. Still no
+      shuffle of ``df``: broadcast joins keep the big side's partitioning.
+    """
     for g, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for group {g!r} must be in [0, 1], got {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError("default_fraction must be in [0, 1]")
-    cutoff = F.lit(int(round(default_fraction * N_BUCKETS)))
-    for g, f in fractions.items():
-        cutoff = F.when(F.col(group_col) == F.lit(g), F.lit(int(round(f * N_BUCKETS)))).otherwise(cutoff)
-    return df.filter(hash_bucket(F.col(id_col)) < cutoff)
+    default_cut = int(round(default_fraction * N_BUCKETS))
+    if len(fractions) <= _STRATIFY_JOIN_THRESHOLD:
+        cutoff = F.lit(default_cut)
+        for g, f in fractions.items():
+            cutoff = F.when(F.col(group_col) == F.lit(g), F.lit(int(round(f * N_BUCKETS)))).otherwise(cutoff)
+        return df.filter(hash_bucket(F.col(id_col)) < cutoff)
+    frac_tbl = df.sparkSession.createDataFrame(
+        [(g, int(round(f * N_BUCKETS))) for g, f in fractions.items()],
+        f"`{group_col}` string, `_strat_cutoff` int",
+    )
+    joined = df.join(F.broadcast(frac_tbl), on=group_col, how="left")
+    return (
+        joined.filter(
+            hash_bucket(F.col(id_col)) < F.coalesce(F.col("_strat_cutoff"), F.lit(default_cut))
+        )
+        .drop("_strat_cutoff")
+        .select(*df.columns)  # same schema/order as the CASE path
+    )

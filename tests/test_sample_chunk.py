@@ -69,6 +69,31 @@ def test_stratified_sample_per_group_rates(spark, ids):
         stratified_sample(grouped, "doc_id", "src", {"a": 1.5})
 
 
+def test_stratified_sample_join_path_equivalence(spark, ids, monkeypatch):
+    """Above _STRATIFY_JOIN_THRESHOLD named groups the sampler switches to
+    a broadcast join against a fractions table; membership, schema, and
+    column order must be identical to the chained-CASE path, and the plan
+    must broadcast (never shuffle the corpus side)."""
+    import geopetl_spark.operators.sample as S
+
+    grouped = ids.withColumn("src", F.concat(F.lit("g"), (F.col("doc_id") % 10).cast("string")))
+    fr = {f"g{i}": (i + 1) / 20 for i in range(10)}  # g0=0.05 .. g9=0.5
+    case_path = stratified_sample(grouped, "doc_id", "src", fr, default_fraction=0.1)
+    monkeypatch.setattr(S, "_STRATIFY_JOIN_THRESHOLD", 4)
+    join_path = stratified_sample(grouped, "doc_id", "src", fr, default_fraction=0.1)
+    assert join_path.columns == case_path.columns == grouped.columns
+    a = {(r.doc_id, r.src) for r in case_path.collect()}
+    b = {(r.doc_id, r.src) for r in join_path.collect()}
+    assert a == b and len(a) > 0
+    plan = join_path._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # unnamed group still gets the default fraction through the left join
+    extra = grouped.withColumn("src", F.lit("unnamed"))
+    kept = stratified_sample(extra, "doc_id", "src", fr, default_fraction=0.1)
+    flat = deterministic_sample(ids, "doc_id", 0.1)
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in flat.collect()}
+
+
 def test_chunk_array_semantics(spark):
     df = spark.createDataFrame(
         [(1, list(range(10))), (2, list(range(4))), (3, []), (4, None)],
