@@ -868,3 +868,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def ivf_config_for(
+    queries: DataFrame,
+    corpus: DataFrame,
+    recall_target: float = 0.9,
+    k: int = 5,
+    n_centroids: int | None = None,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = True,
+) -> tuple[int, int, float, DataFrame]:
+    """Size the IVF index for a recall target — the :func:`lsh_config_for`
+    twin for the centroid path. LSH admits a closed-form collision model;
+    IVF recall depends entirely on how the data clusters, so this solver
+    CALIBRATES instead of modeling: it builds the index once on the given
+    (sample) corpus, computes the exact top-``k`` ground truth for the
+    query sample, and derives the full recall-vs-nprobe curve from a
+    single pass — for every true (query, neighbor) pair, the rank of the
+    neighbor's cell in the query's centroid ordering is the smallest
+    ``nprobe`` that finds it. The returned ``nprobe`` is the smallest with
+    empirical recall ≥ target; probing all cells is exhaustive search, so
+    the solver always terminates with a config that meets any target < 1.
+
+    Scale shape: ground truth is brute-force over the SAMPLE the caller
+    passes (calibrate on a bounded sample, serve the full corpus — the
+    curve is a property of the data distribution, not the corpus size);
+    the curve itself reduces to ≤ ``n_centroids`` histogram rows. The
+    centroid table is returned so serving reuses the calibrated index
+    instead of retraining.
+
+    ``n_centroids`` defaults to ~√corpus_count (the standard IVF cell
+    heuristic: balances cell count against cell size), clamped to [2, 256].
+
+    Returns ``(n_centroids, nprobe, measured_recall, centroids)``.
+    """
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError("recall_target must be in (0, 1)")
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(2, min(256, int(round(math.sqrt(corpus.count())))))
+    if trained:
+        cen = ivf_train_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
+    else:
+        cen = ivf_centroid_array(corpus, n_centroids, id_col, vec_col)
+
+    truth = cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    cells = ivf_assign(corpus, cen, id_col, vec_col).select(
+        F.col(id_col).cast("long").alias("neighbor_id"), "centroid_id"
+    )
+    # rank of every cell in each query's probe order (sim desc, cid asc —
+    # the exact ivf_topk probe discipline), via one posexplode
+    qp = with_unit_vector(queries.crossJoin(F.broadcast(cen)), vec_col).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.posexplode(
+            F.reverse(F.array_sort(_centroid_sims(F.col("_unit"), F.col("_centroids"))))
+        ).alias("_pos", "_p"),
+    ).select(
+        "query_id",
+        (-F.col("_p")["negcid"]).cast("long").alias("centroid_id"),
+        (F.col("_pos") + 1).alias("_needed_nprobe"),
+    )
+    hist = (
+        truth.join(cells, "neighbor_id")
+        .join(qp, ["query_id", "centroid_id"])
+        .groupBy("_needed_nprobe")
+        .count()
+        .collect()  # bounded: <= n_centroids rows
+    )
+    total = sum(r["count"] for r in hist)
+    if total == 0:
+        raise ValueError("no ground-truth pairs: query/corpus sample too small for calibration")
+    cum = 0
+    by_rank = {int(r["_needed_nprobe"]): int(r["count"]) for r in hist}
+    nprobe, recall = n_centroids, 1.0
+    for n in range(1, n_centroids + 1):
+        cum += by_rank.get(n, 0)
+        if cum / total >= recall_target:
+            nprobe, recall = n, cum / total
+            break
+    return n_centroids, nprobe, recall, cen

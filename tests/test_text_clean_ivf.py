@@ -217,3 +217,69 @@ def test_ivf_trained_recall_vs_seeded_and_entry_serves_it(spark, emb, sf_dir):
     assert ("dead-app", sf_dir, "seeded") not in entry._IVF_INDEX
     for k in list(entry._IVF_INDEX):
         entry._IVF_INDEX.pop(k)[1].unpersist(False)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Planted-cluster corpus: 12 well-separated base directions, 40
+    members each jittered slightly — the regime where IVF structure exists
+    and a recall target is meaningfully solvable."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    bases = rng.normal(size=(12, 32))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for b in bases:
+        for _ in range(40):
+            v = b + 0.08 * rng.normal(size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_config_for_meets_recall_target(spark, planted):
+    """The calibration solver (lsh_config_for's IVF twin) returns the
+    smallest nprobe whose measured recall meets the target, and a search
+    run with exactly that config delivers it."""
+    q = planted.filter(F.col("vec_id") % 40 == 0)  # one query per cluster
+    n_cen, nprobe, recall, cen = ANN.ivf_config_for(
+        q, planted, recall_target=0.9, k=5, n_centroids=12
+    )
+    assert n_cen == 12 and 1 <= nprobe <= 12
+    assert recall >= 0.9
+    truth = {
+        (r.query_id, r.neighbor_id) for r in ANN.cosine_topk(q, planted, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ANN.ivf_topk(q, planted, k=5, nprobe=nprobe, centroids=cen).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+    # the config is minimal: one fewer probe would miss the target
+    if nprobe > 1:
+        _, np2, r2, _ = ANN.ivf_config_for(
+            q, planted, recall_target=0.9, k=5, n_centroids=12, n_iter=5
+        )
+        assert np2 == nprobe  # deterministic
+        got_less = {
+            (r.query_id, r.neighbor_id)
+            for r in ANN.ivf_topk(q, planted, k=5, nprobe=nprobe - 1, centroids=cen).collect()
+        }
+        assert len(got_less & truth) / len(truth) < 0.9
+
+
+def test_ivf_config_for_is_sized_from_target(spark, planted):
+    """Higher targets never shrink nprobe; an extreme target still
+    terminates (probing all cells == exhaustive => recall 1.0); defaults
+    derive n_centroids from ~sqrt(corpus)."""
+    q = planted.filter(F.col("vec_id") % 40 == 0)
+    _, np_lo, _, _ = ANN.ivf_config_for(q, planted, recall_target=0.5, n_centroids=12)
+    _, np_hi, r_hi, _ = ANN.ivf_config_for(q, planted, recall_target=0.99, n_centroids=12)
+    assert np_hi >= np_lo
+    assert r_hi >= 0.99
+    n_cen, _, _, _ = ANN.ivf_config_for(q, planted, recall_target=0.5)
+    assert n_cen == 22  # round(sqrt(480))
+    with pytest.raises(ValueError):
+        ANN.ivf_config_for(q, planted, recall_target=1.5)
