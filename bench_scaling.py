@@ -175,7 +175,13 @@ def run_at(
             capture_output=True, text=True, timeout=3600,
         )
         line = out.stdout.strip().splitlines()[-1]
-        return json.loads(line)
+        parsed = json.loads(line)
+        if parsed.get("events", 0) <= 0:
+            raise RuntimeError(
+                "measured run ingested 0 events — the log has too few epochs "
+                "(the RUNNER's untimed warmup consumes 2; use --epochs >= 4)"
+            )
+        return parsed
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
