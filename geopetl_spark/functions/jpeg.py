@@ -162,6 +162,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if blob[i] != 0xFF:
             raise ValueError("JPEG marker desync")
         m = blob[i + 1]
+        if m == 0xFF:  # spec-legal 0xFF fill byte before a marker
+            i += 1
+            continue
         if m == 0xD9:  # EOI before SOS
             raise ValueError("JPEG has no scan data")
         if m in (0x01,) or 0xD0 <= m <= 0xD7:

@@ -377,3 +377,15 @@ def test_jpeg_rejects_non_jpeg_and_header_garbage():
         decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02")  # torn DQT
     with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+@jpeg_samples
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 allows 0xFF fill bytes before any marker; decode is unchanged."""
+    from geopetl_spark.functions.jpeg import decode_jpeg
+
+    b = open(_KITTEN, "rb").read()
+    seglen = int.from_bytes(b[4:6], "big")  # APP0 length
+    j = 4 + seglen
+    padded = b[:j] + b"\xff\xff" + b[j:]
+    assert (decode_jpeg(padded) == decode_jpeg(b)).all()
