@@ -380,6 +380,73 @@ def decode_audio(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> D
     return df.select(id_col, blob_col).mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "id long, duration_sec double, rms double, zero_crossing_rate double, "
+    "spectral_centroid_hz double, decode_error string"
+)
+
+
+def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "id") -> DataFrame:
+    """Per-clip audio features for corpus curation — the audio analog of
+    the image quality stats: duration, RMS level (silence/clipping
+    filters), zero-crossing rate (voiced-vs-noise heuristic), and spectral
+    centroid via numpy rFFT (brightness; a one-line quality proxy for
+    band-limited or resampled junk). PCM WAV in (stdlib ``wave``),
+    Arrow-batched, per-row poison capture like every codec here; channels
+    are averaged to mono before analysis (curation features, not
+    production DSP). All numpy — no audio libraries, no per-row Python
+    beyond the batch loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "id": [], "duration_sec": [], "rms": [], "zero_crossing_rate": [],
+                "spectral_centroid_hz": [], "decode_error": [],
+            }
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    with wave.open(io.BytesIO(bytes(blob)), "rb") as wf:
+                        nch, sw, rate, nfr = (
+                            wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+                        )
+                        frames = wf.readframes(nfr)
+                    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+                    if dt is None:
+                        raise NotImplementedError(f"sample width {sw} not supported")
+                    x = np.frombuffer(frames, dtype=dt).astype(np.float64)
+                    if sw == 1:
+                        x -= 128.0
+                    if nch > 1:
+                        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+                    dur = nfr / rate if rate else 0.0
+                    if x.size == 0:
+                        rms = zcr = cen = 0.0
+                    else:
+                        rms = float(np.sqrt((x * x).mean()))
+                        zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if x.size > 1 else 0.0
+                        mag = np.abs(np.fft.rfft(x))
+                        freqs = np.fft.rfftfreq(x.size, d=1.0 / rate) if rate else np.zeros(mag.size)
+                        tot = mag.sum()
+                        cen = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                    out["id"].append(i); out["duration_sec"].append(dur)
+                    out["rms"].append(rms); out["zero_crossing_rate"].append(zcr)
+                    out["spectral_centroid_hz"].append(cen)
+                    out["decode_error"].append(None)
+                except Exception as e:
+                    out["id"].append(i); out["duration_sec"].append(None)
+                    out["rms"].append(None); out["zero_crossing_rate"].append(None)
+                    out["spectral_centroid_hz"].append(None)
+                    out["decode_error"].append(f"{type(e).__name__}: {str(e)[:60]}")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, target_w: int, target_h: int, blob_col: str = "blob", id_col: str = "id"
 ) -> DataFrame:

@@ -389,3 +389,42 @@ def test_jpeg_fill_bytes_before_marker():
     j = 4 + seglen
     padded = b[:j] + b"\xff\xff" + b[j:]
     assert (decode_jpeg(padded) == decode_jpeg(b)).all()
+
+
+def test_audio_features_known_tone_and_poison(spark):
+    """A pure 1 kHz sine at 8 kHz: RMS = amp/sqrt(2), ZCR = 2*f/rate,
+    spectral centroid ≈ the tone frequency; silence scores zero; garbage
+    poisons only its row."""
+    rate, f, amp, n = 8000, 1000, 10000.0, 4000
+    t = np.arange(n) / rate
+    tone = (amp * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    silence = np.zeros(n, dtype=np.int16)
+    rows = [
+        (1, _wav(tone, rate=rate)),
+        (2, _wav(silence, rate=rate)),
+        (3, b"RIFF....WAVEgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in MM.audio_features(df).collect()}
+    assert out[1]["decode_error"] is None
+    assert out[1]["duration_sec"] == pytest.approx(n / rate)
+    assert out[1]["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert out[1]["zero_crossing_rate"] == pytest.approx(2 * f / rate, rel=1e-2)
+    assert out[1]["spectral_centroid_hz"] == pytest.approx(f, rel=0.02)
+    assert out[2]["rms"] == 0.0 and out[2]["spectral_centroid_hz"] == 0.0
+    assert out[3]["decode_error"] is not None
+
+
+def test_audio_features_stereo_downmix(spark):
+    """Stereo frames average to mono before analysis: L = -R cancels."""
+    rate, n = 8000, 1000
+    tone = (1000 * np.sin(2 * np.pi * 500 * np.arange(n) / rate)).astype(np.int16)
+    inter = np.empty(2 * n, dtype=np.int16)
+    inter[0::2] = tone
+    inter[1::2] = -tone
+    blob = _wav(inter, rate=rate, channels=2)
+    out = MM.audio_features(
+        spark.createDataFrame([(1, blob)], "id long, blob binary")
+    ).collect()[0]
+    assert out["decode_error"] is None
+    assert out["rms"] == pytest.approx(0.0, abs=0.51)  # int16 rounding of -x
