@@ -19,13 +19,16 @@ image/audio libraries ship in this container):
   magic b'FIMG' | width:uint16 BE | height:uint16 BE | payload bytes
   (pixel i = payload[i % len(payload)]).
 
-* **baseline JPEG** (:mod:`geopetl_spark.functions.jpeg`, round 6):
-  marker parse + canonical Huffman + exact float IDCT + 4:2:0/4:2:2
+* **JPEG, baseline AND progressive** (:mod:`geopetl_spark.functions.jpeg`,
+  round 6): marker parse + canonical Huffman + per-component coefficient
+  accumulation across scans (progressive spectral selection + successive
+  approximation, T.81 G.2) + batched exact float IDCT + 4:2:0/4:2:2
   chroma upsampling + YCbCr→RGB, from the public ITU-T T.81 spec;
   validated against Java ImageIO (Spark's image source) on Spark's own
-  mllib sample JPEGs to mean |diff| < 0.7 gray levels. Progressive /
-  arithmetic / 12-bit / CMYK frames raise ``NotImplementedError``
-  (captured per row, never a partition kill); video likewise.
+  mllib sample JPEGs — baseline to mean |diff| < 0.7 gray levels,
+  progressive to max diff ≤ 1. Arithmetic-coded / 12-bit / CMYK frames
+  raise ``NotImplementedError`` (captured per row, never a partition
+  kill); video likewise.
 
 geopetl parity: binary payloads map to the reference's LOB columns
 (BLOB/CLOB handling via output type handler, /root/reference/geopetl/

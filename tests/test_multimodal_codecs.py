@@ -282,7 +282,7 @@ def test_encode_ppm_channel_validation(rgb):
 
 _JPEG_DIR = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
 _KITTEN = f"{_JPEG_DIR}/kittens/DP802813.jpg"           # SOF0, 4:2:0
-_PROGRESSIVE = f"{_JPEG_DIR}/multi-channel/grayscale.jpg"  # SOF2
+_PROGRESSIVE = f"{_JPEG_DIR}/multi-channel/grayscale.jpg"  # SOF2, grayscale
 
 jpeg_samples = pytest.mark.skipif(
     not __import__("os").path.exists(_KITTEN),
@@ -322,10 +322,13 @@ def test_jpeg_through_spark_decode_and_resize_paths(spark):
     to netpbm at target geometry; truncated entropy data and progressive
     frames poison ONLY their own row."""
     full = open(_KITTEN, "rb").read()
+    # minimal arithmetic-coded frame header (SOF9): the honest NI path
+    sof9 = b"\xff\xd8\xff\xc9" + b"\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     rows = [
         (1, full),
         (2, full[: len(full) // 2]),            # truncated entropy data
-        (3, open(_PROGRESSIVE, "rb").read()),   # SOF2
+        (3, open(_PROGRESSIVE, "rb").read()),   # SOF2 progressive: decodes (r6)
+        (4, sof9),                              # arithmetic-coded: NI per row
     ]
     df = spark.createDataFrame(rows, "id long, blob binary")
     out = {r["id"]: r for r in MM.decode_images(df).collect()}
@@ -333,11 +336,15 @@ def test_jpeg_through_spark_decode_and_resize_paths(spark):
     assert out[1]["mean_pixel"] == pytest.approx(195.23, abs=0.1)
     assert out[1]["decode_error"] is None
     assert out[2]["decode_error"] is not None and out[2]["width"] is None
-    assert out[3]["decode_error"].startswith("NotImplementedError")
+    assert (out[3]["width"], out[3]["height"]) == (300, 215)
+    assert out[3]["decode_error"] is None
+    assert out[4]["decode_error"].startswith("NotImplementedError")
     rs = {r["id"]: r for r in MM.resize_images(df, 16, 10).collect()}
-    assert rs[2]["blob"] is None and rs[3]["blob"] is None
+    assert rs[2]["blob"] is None and rs[4]["blob"] is None
     w, h, c, pos = MM._parse_ppm_header(bytes(rs[1]["blob"]))
     assert (w, h, c) == (16, 10, 3)
+    w3, h3, c3, _ = MM._parse_ppm_header(bytes(rs[3]["blob"]))
+    assert (w3, h3, c3) == (16, 10, 1)          # progressive grayscale resizes too
 
 
 @jpeg_samples
@@ -428,3 +435,22 @@ def test_audio_features_stereo_downmix(spark):
     ).collect()[0]
     assert out["decode_error"] is None
     assert out["rms"] == pytest.approx(0.0, abs=0.51)  # int16 rounding of -x
+
+
+@jpeg_samples
+def test_jpeg_progressive_matches_imageio(spark):
+    """The progressive sample (SOF2: DC successive approximation + three
+    AC spectral-selection/refinement scans) decodes pixel-exact against
+    Java ImageIO up to rounding convention (grayscale: no chroma
+    interpolation, so max diff must be <= 1 gray level)."""
+    from geopetl_spark.functions.jpeg import decode_jpeg
+
+    r = (
+        spark.read.format("image").load(_PROGRESSIVE).select("image.*").collect()[0]
+    )
+    assert r.mode != -1 and r.nChannels == 1
+    ref = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(r.height, r.width)
+    mine = decode_jpeg(open(_PROGRESSIVE, "rb").read())
+    assert mine.shape == ref.shape == (215, 300)
+    diff = np.abs(mine.astype(int) - ref.astype(int))
+    assert int(diff.max()) <= 1
