@@ -14,6 +14,11 @@ image/audio libraries ship in this container):
   ≤ 255 — the classic trivially-parseable raster format.
 * **WAV** (:func:`decode_audio`): PCM via the stdlib ``wave`` module +
   numpy ``frombuffer``.
+* **GIF** (:func:`_gif_pixels`, round 6): GIF87a/89a first frame —
+  variable-width LZW (spec appendix F), global/local palettes, 4-pass
+  interlace; BYTE-EXACT against Java ImageIO on real-world samples
+  (LZW is lossless, so exact equality is the bar). Animated GIFs yield
+  their first frame (one representative raster per blob).
 * **FIMG fake container** (:func:`make_fake_image`): the deterministic
   test codec — kept so plumbing tests never depend on codec details:
   magic b'FIMG' | width:uint16 BE | height:uint16 BE | payload bytes
@@ -265,6 +270,141 @@ def _decode_png(blob: bytes) -> tuple[int, int, float]:
     return w, h, float(px.mean()) if px.size else 0.0
 
 
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int):
+    """GIF LZW decompression (spec appendix F, public GIF89a spec):
+    variable-width codes LSB-first, clear/end codes, dictionary rebuilt on
+    clear. Pure Python over the (small, per-image) byte stream."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes least-significant-bit first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read(width):
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+
+    width = min_code + 1
+    reset()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = read(width)
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data ended early")
+    return bytes(out[:n_pixels])
+
+
+def _gif_pixels(blob: bytes):
+    """GIF87a/89a first frame → (h, w, 3) uint8 via the public spec:
+    logical screen descriptor + global color table, extension skip, image
+    descriptor (local palette + interlace), LZW decode, palette lookup.
+    Animated GIFs yield their FIRST frame (the corpus-curation contract:
+    one representative raster per blob)."""
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(blob) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if len(gct) < n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                raise ValueError("truncated GIF image descriptor")
+            _l, _t, w, h, iflags = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                if len(pal) < n:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image data")
+            min_code = blob[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("invalid GIF LZW minimum code size")
+            chunks = []
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                chunks.append(blob[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(_gif_lzw(b"".join(chunks), min_code, w * h), dtype=np.uint8)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            px = pal[idx].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: 4-pass row order (spec app. E)
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.empty_like(px)
+                out[order] = px
+                px = out
+            return px
+        elif b0 == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF ended before image data")
+
+
+def _decode_gif(blob: bytes) -> tuple[int, int, float]:
+    px = _gif_pixels(blob)
+    h, w = px.shape[:2]
+    return w, h, float(px.mean()) if px.size else 0.0
+
+
 def _decode_image_bytes(blob: bytes | None) -> tuple[int, int, float]:
     """THE CODEC BOUNDARY (real, round 5 — was the stub): dispatch on magic
     to the pure-numpy decoders above. Returns (width, height, mean_pixel);
@@ -285,8 +425,10 @@ def _decode_image_bytes(blob: bytes | None) -> tuple[int, int, float]:
         px = decode_jpeg(blob)
         h, w = px.shape[:2]
         return w, h, float(px.mean()) if px.size else 0.0
+    if blob[:4] == b"GIF8":
+        return _decode_gif(blob)
     raise NotImplementedError(
-        f"no decoder for magic {blob[:4]!r} (PNG, baseline JPEG, P5/P6 netpbm, FIMG supported)"
+        f"no decoder for magic {blob[:4]!r} (PNG, JPEG, GIF, P5/P6 netpbm, FIMG supported)"
     )
 
 
@@ -480,7 +622,9 @@ def resize_images(
 
                 px = decode_jpeg(blob)
                 return px if px.ndim == 3 else px[:, :, None]
-            raise NotImplementedError("resize supports PNG, baseline JPEG, and netpbm payloads")
+            if blob[:4] == b"GIF8":
+                return _gif_pixels(blob)
+            raise NotImplementedError("resize supports PNG, JPEG, GIF, and netpbm payloads")
 
         for pdf in batches:
             blobs = []

@@ -122,7 +122,7 @@ def test_decode_images_real_formats_and_poison(spark, rgb):
         (3, MM.make_fake_image(4, 4, seed=5)),
         (4, png[: len(png) - 30]),  # truncated: zlib/IEND damage
         (5, b"\xff\xd8\xff\xe0 not a real jpeg body"),  # JPEG magic, garbage body
-        (6, b"GIF89a tiny gif-looking payload!"),
+        (6, b"BM bmp-looking payload with no decoder."),
     ]
     df = spark.createDataFrame(rows, "id long, blob binary")
     out = {r["id"]: r for r in MM.decode_images(df).collect()}
@@ -135,7 +135,7 @@ def test_decode_images_real_formats_and_poison(spark, rgb):
     assert out[4]["width"] is None and out[4]["decode_error"] is not None
     # JPEG magic now dispatches to the real decoder: garbage body = ValueError
     assert out[5]["decode_error"].startswith("ValueError")
-    assert out[6]["decode_error"].startswith("NotImplementedError")
+    assert out[6]["decode_error"].startswith("NotImplementedError")  # BMP: honest NI
 
 
 def test_zero_area_and_trailing_bytes_netpbm(spark):
@@ -454,3 +454,126 @@ def test_jpeg_progressive_matches_imageio(spark):
     assert mine.shape == ref.shape == (215, 300)
     diff = np.abs(mine.astype(int) - ref.astype(int))
     assert int(diff.max()) <= 1
+
+
+# --------------------------------------------------------------------------
+# GIF (round 6): LZW decode, palette, interlace, first-frame contract
+# --------------------------------------------------------------------------
+
+_GIF_DIR = "/usr/share/doc/libxslt1-dev/html"
+
+gif_samples = pytest.mark.skipif(
+    not __import__("os").path.exists(f"{_GIF_DIR}/redhat.gif"),
+    reason="system sample GIFs not present",
+)
+
+
+def _gif(idx, palette, interlace=False, trailer=True):
+    """Minimal GIF89a encoder for round-trip tests — variable-width LZW
+    with literal codes only, tracking the decoder's dictionary growth."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    ncol = len(palette)
+    depth = max(2, (ncol - 1).bit_length())
+    gct_bits = depth - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    for i in range(2 << gct_bits):
+        out += bytes(palette[i] if i < ncol else (0, 0, 0))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = idx[order]
+    min_code = depth
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = bytearray()
+    state = {"width": min_code + 1, "tsize": clear + 2, "prev": False}
+
+    def emit(code):
+        for i in range(state["width"]):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    for v in rows.reshape(-1):
+        emit(int(v))
+        if state["prev"] and state["tsize"] < 4096:
+            state["tsize"] += 1
+            if state["tsize"] == (1 << state["width"]) and state["width"] < 12:
+                state["width"] += 1
+        state["prev"] = True
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    if trailer:
+        out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_synthetic_roundtrip_and_interlace():
+    from geopetl_spark.functions.multimodal import _gif_pixels
+
+    rng = np.random.RandomState(3)
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (255, 255, 255)]
+    idx = rng.randint(0, 4, size=(13, 9))
+    px = _gif_pixels(_gif(idx, pal))
+    assert px.shape == (13, 9, 3)
+    assert (px == np.array(pal, np.uint8)[idx]).all()
+    # interlaced storage decodes to the same raster
+    px_i = _gif_pixels(_gif(idx, pal, interlace=True))
+    assert (px_i == px).all()
+
+
+def test_gif_poison_paths():
+    from geopetl_spark.functions.multimodal import _gif_pixels
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    good = _gif(idx, pal)
+    with pytest.raises(ValueError, match="not a GIF"):
+        _gif_pixels(b"JIF89a" + good[6:])
+    with pytest.raises(ValueError):
+        _gif_pixels(good[: len(good) // 2])   # truncated LZW / blocks
+    with pytest.raises(ValueError, match="no image data"):
+        _gif_pixels(good[:13] + good[13 : 13 + 3 * 4] + b"\x3b")  # trailer only
+
+
+@gif_samples
+def test_gif_matches_imageio_byte_exact(spark):
+    """LZW is lossless: decode of a real-world GIF must be BYTE-EXACT
+    against Java ImageIO (no interpolation anywhere in the pipeline)."""
+    from geopetl_spark.functions.multimodal import _gif_pixels
+
+    path = f"{_GIF_DIR}/redhat.gif"
+    r = spark.read.format("image").load(path).select("image.*").collect()[0]
+    assert r.mode != -1
+    ref = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(r.height, r.width, r.nChannels)
+    ref = ref[:, :, ::-1] if r.nChannels == 3 else ref[:, :, [2, 1, 0]]
+    mine = _gif_pixels(open(path, "rb").read())
+    assert mine.shape == ref[:, :, :3].shape
+    assert (mine == ref[:, :, :3]).all()
+
+
+@gif_samples
+def test_gif_through_spark_decode_and_resize(spark):
+    path = f"{_GIF_DIR}/redhat.gif"
+    rows = [(1, open(path, "rb").read()), (2, b"GIF89a\x00")]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in MM.decode_images(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (44, 41)
+    assert out[1]["decode_error"] is None
+    assert out[2]["decode_error"] is not None
+    rs = {r["id"]: r for r in MM.resize_images(df, 8, 8).collect()}
+    w, h, c, _ = MM._parse_ppm_header(bytes(rs[1]["blob"]))
+    assert (w, h, c) == (8, 8, 3) and rs[2]["blob"] is None
