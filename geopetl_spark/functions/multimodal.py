@@ -14,6 +14,10 @@ image/audio libraries ship in this container):
   ≤ 255 — the classic trivially-parseable raster format.
 * **WAV** (:func:`decode_audio`): PCM via the stdlib ``wave`` module +
   numpy ``frombuffer``.
+* **BMP** (:func:`_bmp_pixels`, round 6): uncompressed BI_RGB —
+  8-bit palette / 24-bit BGR / 32-bit BGRX, bottom-up and top-down rows,
+  4-byte stride padding; byte-exact against Java ImageIO. RLE/bitfield
+  compressions raise ``NotImplementedError`` per row.
 * **GIF** (:func:`_gif_pixels`, round 6): GIF87a/89a first frame —
   variable-width LZW (spec appendix F), global/local palettes, 4-pass
   interlace; BYTE-EXACT against Java ImageIO on real-world samples
@@ -60,6 +64,7 @@ _MAGIC_MIME = {
     b"\xff\xd8\xff": "image/jpeg",
     b"RIFF": "audio/wav",
     b"GIF8": "image/gif",
+    b"BM": "image/bmp",
     b"P5": "image/x-portable-graymap",
     b"P6": "image/x-portable-pixmap",
 }
@@ -405,6 +410,64 @@ def _decode_gif(blob: bytes) -> tuple[int, int, float]:
     return w, h, float(px.mean()) if px.size else 0.0
 
 
+def _bmp_pixels(blob: bytes):
+    """Uncompressed Windows BMP (BITMAPINFOHEADER, BI_RGB) → (h, w, 3)
+    uint8, from the public format: 14-byte file header + 40-byte info
+    header, bottom-up rows (top-down when height < 0) padded to 4 bytes,
+    8-bit palette / 24-bit BGR / 32-bit BGRX. RLE and bitfield
+    compressions raise ``NotImplementedError`` (captured per row)."""
+    import numpy as np
+
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise ValueError("not a BMP / truncated header")
+    data_off = struct.unpack("<I", blob[10:14])[0]
+    hdr_size = struct.unpack("<I", blob[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack("<ii", blob[18:26])
+    planes, bpp = struct.unpack("<HH", blob[26:30])
+    comp = struct.unpack("<I", blob[30:34])[0]
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} (RLE/bitfields) not supported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    pal = None
+    if bpp == 8:
+        n_colors = struct.unpack("<I", blob[46:50])[0] or 256
+        pstart = 14 + hdr_size
+        pal = np.frombuffer(blob[pstart : pstart + 4 * n_colors], dtype=np.uint8)
+        if len(pal) < 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+        pal = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+    stride = ((w * bpp // 8) + 3) & ~3
+    need = stride * h
+    raw = blob[data_off : data_off + need]
+    if len(raw) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if bpp == 8:
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
+    else:
+        c = bpp // 8
+        px = rows[:, : w * c].reshape(h, w, c)[:, :, [2, 1, 0]]  # BGR(X) -> RGB
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, float]:
+    px = _bmp_pixels(blob)
+    h, w = px.shape[:2]
+    return w, h, float(px.mean()) if px.size else 0.0
+
+
 def _decode_image_bytes(blob: bytes | None) -> tuple[int, int, float]:
     """THE CODEC BOUNDARY (real, round 5 — was the stub): dispatch on magic
     to the pure-numpy decoders above. Returns (width, height, mean_pixel);
@@ -427,8 +490,10 @@ def _decode_image_bytes(blob: bytes | None) -> tuple[int, int, float]:
         return w, h, float(px.mean()) if px.size else 0.0
     if blob[:4] == b"GIF8":
         return _decode_gif(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
     raise NotImplementedError(
-        f"no decoder for magic {blob[:4]!r} (PNG, JPEG, GIF, P5/P6 netpbm, FIMG supported)"
+        f"no decoder for magic {blob[:4]!r} (PNG, JPEG, GIF, BMP, P5/P6 netpbm, FIMG supported)"
     )
 
 
@@ -624,7 +689,9 @@ def resize_images(
                 return px if px.ndim == 3 else px[:, :, None]
             if blob[:4] == b"GIF8":
                 return _gif_pixels(blob)
-            raise NotImplementedError("resize supports PNG, JPEG, GIF, and netpbm payloads")
+            if blob[:2] == b"BM":
+                return _bmp_pixels(blob)
+            raise NotImplementedError("resize supports PNG, JPEG, GIF, BMP, and netpbm payloads")
 
         for pdf in batches:
             blobs = []

@@ -577,3 +577,92 @@ def test_gif_through_spark_decode_and_resize(spark):
     rs = {r["id"]: r for r in MM.resize_images(df, 8, 8).collect()}
     w, h, c, _ = MM._parse_ppm_header(bytes(rs[1]["blob"]))
     assert (w, h, c) == (8, 8, 3) and rs[2]["blob"] is None
+
+
+# --------------------------------------------------------------------------
+# BMP (round 6): uncompressed BI_RGB, 8/24/32-bit, bottom-up + top-down
+# --------------------------------------------------------------------------
+
+def _bmp(px, bpp=24, top_down=False, palette=None):
+    """Minimal BMP writer for round-trip tests."""
+    px = np.asarray(px, np.uint8)
+    h, w = px.shape[:2]
+    if bpp == 8:
+        pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+        n_colors = len(palette)
+        rowbytes = w
+    else:
+        pal_bytes = b""
+        n_colors = 0
+        rowbytes = w * (bpp // 8)
+    stride = (rowbytes + 3) & ~3
+    raw = bytearray()
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            if bpp == 8:
+                row.append(int(px[y, x]))
+            else:
+                r, g, b = px[y, x][:3]
+                row += bytes([b, g, r] + ([0] if bpp == 32 else []))
+        row += b"\x00" * (stride - len(row))
+        raw += row
+    off = 54 + len(pal_bytes)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raw), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0, len(raw), 0, 0, n_colors, 0
+    )
+    return bytes(hdr + info) + pal_bytes + bytes(raw)
+
+
+def test_bmp_roundtrip_variants(rgb):
+    from geopetl_spark.functions.multimodal import _bmp_pixels
+
+    assert (_bmp_pixels(_bmp(rgb, 24)) == rgb).all()
+    assert (_bmp_pixels(_bmp(rgb, 32)) == rgb).all()
+    assert (_bmp_pixels(_bmp(rgb, 24, top_down=True)) == rgb).all()
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (255, 255, 255)]
+    idx = (rgb[:, :, 0] % 4).astype(np.uint8)
+    out = _bmp_pixels(_bmp(idx, 8, palette=pal))
+    assert (out == np.array(pal, np.uint8)[idx]).all()
+
+
+def test_bmp_poison_and_ni_paths():
+    from geopetl_spark.functions.multimodal import _bmp_pixels
+
+    rng = np.random.RandomState(1)
+    px = rng.randint(0, 256, (5, 7, 3), np.uint8)
+    good = _bmp(px)
+    with pytest.raises(ValueError):
+        _bmp_pixels(good[: len(good) - 10])  # truncated raster
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        _bmp_pixels(bytes(rle))
+    sixteen = bytearray(good)
+    sixteen[28:30] = struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _bmp_pixels(bytes(sixteen))
+
+
+def test_bmp_matches_imageio_and_spark_paths(spark, rgb, tmp_path):
+    """Decode OUR synthetic BMP with Java ImageIO (independent reader) and
+    with the engine: both must agree byte-exactly; the Spark decode +
+    resize plumbing carries BMP like every other format."""
+    blob = _bmp(rgb, 24)
+    p = tmp_path / "t.bmp"
+    p.write_bytes(blob)
+    r = spark.read.format("image").load(str(p)).select("image.*").collect()[0]
+    assert r.mode != -1
+    ref = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(r.height, r.width, r.nChannels)[:, :, ::-1]
+    from geopetl_spark.functions.multimodal import _bmp_pixels
+
+    assert (ref == rgb).all() and (_bmp_pixels(blob) == ref).all()
+    df = spark.createDataFrame([(1, blob)], "id long, blob binary")
+    out = MM.decode_images(df).collect()[0]
+    assert (out["width"], out["height"]) == (9, 13) and out["decode_error"] is None
+    assert out["mean_pixel"] == pytest.approx(float(rgb.astype(np.float64).mean()))
+    rs = MM.resize_images(df, 4, 4).collect()[0]
+    w, h, c, _ = MM._parse_ppm_header(bytes(rs["blob"]))
+    assert (w, h, c) == (4, 4, 3)
