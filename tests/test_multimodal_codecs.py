@@ -666,3 +666,54 @@ def test_bmp_matches_imageio_and_spark_paths(spark, rgb, tmp_path):
     rs = MM.resize_images(df, 4, 4).collect()[0]
     w, h, c, _ = MM._parse_ppm_header(bytes(rs["blob"]))
     assert (w, h, c) == (4, 4, 3)
+
+
+def test_jpeg_progressive_color_matches_imageio(spark, tmp_path):
+    """COLOR progressive coverage (the public sample set has only a
+    grayscale SOF2): write a progressive YCbCr JPEG with Java ImageIO
+    (MODE_DEFAULT -> multi-scan SOF2 with interleaved DC + per-component
+    AC scans), then decode with the engine and with ImageIO — agreement
+    within chroma-interpolation tolerance proves the color progressive
+    path (non-interleaved AC over subsampled components)."""
+    jvm = spark._jvm
+    w, h = 96, 64
+    bi = jvm.java.awt.image.BufferedImage(w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 255) // w, (y * 255) // h, ((x + y) * 255) // (w + h)
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    wr = writers.next()
+    param = wr.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    path = str(tmp_path / "prog_color.jpg")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(path))
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    wr.dispose()
+    blob = open(path, "rb").read()
+    # confirm the writer actually produced SOF2
+    i = 2
+    sof = None
+    while i < len(blob) - 4:
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        m = blob[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m in (0xC0, 0xC1, 0xC2):
+            sof = m
+            break
+        i += 2 + int.from_bytes(blob[i + 2 : i + 4], "big")
+    assert sof == 0xC2
+    from geopetl_spark.functions.jpeg import decode_jpeg
+
+    mine = decode_jpeg(blob)
+    r = spark.read.format("image").load(path).select("image.*").collect()[0]
+    ref = np.frombuffer(bytes(r.data), np.uint8).reshape(r.height, r.width, r.nChannels)[:, :, ::-1]
+    assert mine.shape == ref.shape == (64, 96, 3)
+    diff = np.abs(mine.astype(int) - ref.astype(int))
+    assert float(diff.mean()) < 1.5 and int(diff.max()) <= 16
