@@ -122,7 +122,7 @@ def test_decode_images_real_formats_and_poison(spark, rgb):
         (3, MM.make_fake_image(4, 4, seed=5)),
         (4, png[: len(png) - 30]),  # truncated: zlib/IEND damage
         (5, b"\xff\xd8\xff\xe0 not a real jpeg body"),  # JPEG magic, garbage body
-        (6, b"BM bmp-looking payload with no decoder."),
+        (6, b"II*\x00 tiff-looking payload, no decoder"),
     ]
     df = spark.createDataFrame(rows, "id long, blob binary")
     out = {r["id"]: r for r in MM.decode_images(df).collect()}
@@ -135,7 +135,7 @@ def test_decode_images_real_formats_and_poison(spark, rgb):
     assert out[4]["width"] is None and out[4]["decode_error"] is not None
     # JPEG magic now dispatches to the real decoder: garbage body = ValueError
     assert out[5]["decode_error"].startswith("ValueError")
-    assert out[6]["decode_error"].startswith("NotImplementedError")  # BMP: honest NI
+    assert out[6]["decode_error"].startswith("NotImplementedError")  # TIFF: honest NI
 
 
 def test_zero_area_and_trailing_bytes_netpbm(spark):
