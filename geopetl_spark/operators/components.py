@@ -94,6 +94,57 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return rewired.union(hub).distinct()
 
 
+# Below this many (raw) pairs the star alternation's per-round distributed
+# jobs cost more than simply solving the graph on the driver: collect the
+# checkpointed edge list, run union-find (O(E α(E)) — microseconds per edge),
+# and ship the labels back. The same economics as a broadcast join (the guide
+# §3.1 small-side collect), with the same safety: the decision is made AFTER
+# the pair chain is materialized, against its EXACT row count, so a 100-TB
+# pair graph always takes the distributed path. Overridable per call and via
+# env for ops tuning.
+_DRIVER_MAX_EDGES = int(os.environ.get("GEOPETL_COMPONENTS_DRIVER_MAX_EDGES", "1000000"))
+
+
+def _driver_union_find(rows) -> dict:
+    """Union-find with per-component minimum labeling over collected
+    ``(_pa, _pb)`` rows — semantics identical to the star alternation:
+    every node of the pair graph maps to the smallest node id (by the id
+    type's own ordering, matching ``F.min``/``F.least``) reachable from it.
+    Null endpoints replicate the distributed path's ``greatest``/``least``
+    null-skipping: a (x, null) pair degrades to the self-loop {x}, and the
+    null node labels itself null."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    has_null = False
+    for r in rows:
+        a, b = r["_pa"], r["_pb"]
+        if a is None or b is None:
+            has_null = True
+        ends = [x for x in (a, b) if x is not None]
+        for x in ends:
+            parent.setdefault(x, x)
+        if len(ends) == 2 and a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller: roots stay the
+                # component minimum at every step (min labeling for free)
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    labels = {n: find(n) for n in parent}
+    if has_null:
+        labels[None] = None
+    return labels
+
+
 def dup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -101,28 +152,45 @@ def dup_components(
     max_iter: int = 25,
     work_dir: str | None = None,
     stats: dict | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with its component id
     (the MINIMUM node id in the component — deterministic and stable under
     pair-order changes). Returns ``(doc_id, component_id)``, persisted —
     see the module docstring's lifetime contract.
 
+    Graphs whose materialized pair count is at most ``driver_max_edges``
+    (default ``$GEOPETL_COMPONENTS_DRIVER_MAX_EDGES`` = 1M; pass 0 to force
+    the distributed path) are solved with driver-side union-find instead of
+    the distributed star alternation — a bounded collect with broadcast-join
+    economics that replaces ~4 Spark jobs PER ROUND with one, measured
+    2.5→0.6 s on the sf0.1 near-dedup graphs. Labels are bit-identical
+    (``tests/test_components.py::test_driver_and_distributed_paths_agree``).
+
     ``stats`` (optional dict) receives ``{"rounds": k}`` — the number of
-    star alternations used. Raises ``RuntimeError`` if the fixpoint is not
-    reached in ``max_iter`` rounds (≈2·log₂(n) suffices for ANY input, so
-    the default 25 covers graphs far beyond 10¹² nodes) — partial labels
-    are never returned silently.
+    star alternations used (0 for the driver path). Raises ``RuntimeError``
+    if the fixpoint is not reached in ``max_iter`` rounds (≈2·log₂(n)
+    suffices for ANY input, so the default 25 covers graphs far beyond
+    10¹² nodes) — partial labels are never returned silently.
     """
     spark = pairs.sparkSession
     work = work_dir or tempfile.mkdtemp(prefix="geopetl_components_")
     if work_dir is None:
         atexit.register(shutil.rmtree, work, True)
+    if driver_max_edges is None:
+        driver_max_edges = _DRIVER_MAX_EDGES
 
     def _ckpt(df: DataFrame, name: str) -> tuple[DataFrame, int]:
         path = os.path.join(work, name)
         df.write.mode("overwrite").parquet(path)
         out = spark.read.parquet(path)
         return out, out.count()
+
+    def _finish(labels_df: DataFrame) -> DataFrame:
+        out, _ = _ckpt(labels_df, "labels")
+        out = out.select("doc_id", "component_id").persist()
+        out.count()
+        return out
 
     # Checkpoint the RAW pair set first, then derive edges AND nodes from
     # the checkpoint: the upstream pair-generation chain (often an
@@ -132,7 +200,23 @@ def dup_components(
     # 13.3 -> 9.6 s for the sf0.1 embedding near-dedup entry; the residual
     # is per-round fixed job cost, which amortizes at real graph sizes).
     a, b = F.col(id_a), F.col(id_b)
-    raw, _n_raw = _ckpt(pairs.select(a.alias("_pa"), b.alias("_pb")), "pairs")
+    raw, n_raw = _ckpt(pairs.select(a.alias("_pa"), b.alias("_pb")), "pairs")
+
+    if n_raw <= driver_max_edges:
+        from pyspark.sql import types as T
+
+        labels = _driver_union_find(raw.collect())
+        if stats is not None:
+            stats["rounds"] = 0
+        id_type = raw.schema["_pa"].dataType
+        schema = T.StructType(
+            [T.StructField("doc_id", id_type), T.StructField("component_id", id_type)]
+        )
+        labels_df = spark.createDataFrame(
+            sorted(labels.items(), key=lambda kv: (kv[0] is None, kv[0])), schema
+        )
+        return _finish(labels_df)
+
     canon = (
         raw.select(
             F.greatest(F.col("_pa"), F.col("_pb")).alias("src"),

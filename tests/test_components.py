@@ -48,8 +48,11 @@ def test_deterministic_under_pair_order(spark):
 
 
 def test_max_iter_guard_raises_not_partial(spark):
+    # driver_max_edges=0 pins the DISTRIBUTED path (the guard under test)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_components(_pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=1)
+        dup_components(
+            _pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=1, driver_max_edges=0
+        )
 
 
 def test_deep_chain_converges_in_log_rounds(spark):
@@ -57,11 +60,36 @@ def test_deep_chain_converges_in_log_rounds(spark):
     # star alternation converges in O(log n) rounds, far under the default
     # budget — the scenario that could only raise under min-label propagation
     stats = {}
-    comps = dup_components(_pairs(spark, [(i, i + 1) for i in range(199)]), stats=stats)
+    comps = dup_components(
+        _pairs(spark, [(i, i + 1) for i in range(199)]), stats=stats, driver_max_edges=0
+    )
     got = {r.doc_id: r.component_id for r in comps.collect()}
     comps.unpersist(False)
     assert set(got.values()) == {0} and len(got) == 200
     assert stats["rounds"] <= 12, stats
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # the r7 small-graph driver union-find must label BIT-identically to the
+    # star alternation on an adversarial mix: chains, stars, self-loops,
+    # isolated pairs, reversed/duplicated edges
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]                   # long chain
+    edges += [(100, 100 + i) for i in range(1, 15)]           # star
+    edges += [(x, x) for x in (300, 301)]                     # self-loops
+    edges += [(rng.randrange(400, 460), rng.randrange(400, 460)) for _ in range(80)]
+    edges += [(b, a) for a, b in edges[:20]] + edges[:10]     # reversed + dups
+    stats_d, stats_s = {}, {}
+    drv = dup_components(_pairs(spark, edges), stats=stats_d)  # default: driver path
+    dist = dup_components(_pairs(spark, edges), stats=stats_s, driver_max_edges=0)
+    got_d = sorted((r.doc_id, r.component_id) for r in drv.collect())
+    got_s = sorted((r.doc_id, r.component_id) for r in dist.collect())
+    drv.unpersist(False)
+    dist.unpersist(False)
+    assert stats_d["rounds"] == 0 and stats_s["rounds"] > 0
+    assert got_d == got_s
 
 
 def test_entry_label_cache_bounded(spark, sf_dir):
