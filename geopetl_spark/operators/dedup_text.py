@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import word_ngrams
 from ..functions.text import word_hash
+from ..plans.ckpt import materialize
 
 # LSH parameters: k = bands * rows_per_band minhashes.
 _MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*x + b < 2^44
@@ -196,13 +197,12 @@ def ngram_jaccard_pairs(
     candidate pair, so neither filter can change an emitted value.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
 
-    Storage hygiene: the shingle explode is deliberately NOT persisted. The
-    index side and the verify side each recompute it from the (column-pruned)
-    scan — at 100 TB the exploded shingle set dwarfs cluster storage, so
-    pinning it trades a second columnar scan for eviction churn and a
-    storage leak in long-running sessions (each call would pin an explode
-    until GC). Callers who KNOW the corpus is small can pass an
-    already-persisted ``docs`` and manage its lifetime themselves.
+    Storage hygiene: the raw shingle EXPLODE is never persisted (at 100 TB
+    it dwarfs cluster storage, and ``persist()`` would pin executor memory
+    per call). What IS materialized — to process-temp parquet, guide §3.3 —
+    is the per-doc aggregated (df, shingle) list table: corpus-shaped
+    (distinct shingles per doc), consumed by four differently-keyed joins
+    that would otherwise each re-run the full explode + dfreq pipeline.
 
     ``broadcast_dfreq`` hints the df-table side of the prefix join as a
     broadcast: the exploded shingle set then needs NO by-shingle exchange
@@ -226,10 +226,21 @@ def ngram_jaccard_pairs(
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         if broadcast_dfreq:
             dfreq = F.broadcast(dfreq)
-        per_doc = (
+        # Materialize the per-doc (df, shingle) lists ONCE (guide §3.3): the
+        # four consumers below — index side a, index side b, verify sets sa,
+        # verify sets sb — sit behind differently-keyed/broadcast joins, so
+        # ReuseExchange never fires and the whole corpus pipeline (scan →
+        # n-gram explode → dfreq join → sort-aggregate) would run 4× (and
+        # its dfreq subtree 8×; confirmed in the r6 physical plan). The
+        # checkpoint is bounded by the per-doc DISTINCT shingle sets (≈ n×
+        # the raw text — corpus-shaped, never the pair space) and written to
+        # process-temp disk, not pinned executor memory; one columnar write
+        # + 4 cheap scans replaces 3 full re-evaluations at any scale.
+        per_doc = materialize(
             sh.join(dfreq, "shingle")
             .groupBy("_id")
-            .agg(F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("shingle")))).alias("_lst"))
+            .agg(F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("shingle")))).alias("_lst")),
+            "ngram_perdoc",
         )
         sz = F.size(F.col("_lst"))
         plen = sz - F.ceil(F.lit(float(threshold)) * sz) + F.lit(1)
@@ -304,13 +315,27 @@ def minhash_lsh_pairs(
         # ngram_jaccard_pairs' dfreq broadcast
         broadcast_candidates = _small_relation(docs, broadcast_threshold_bytes)
     k = bands * rows_per_band
-    # not persisted — same storage-hygiene reasoning as ngram_jaccard_pairs:
-    # the signature side and the verify side each recompute the explode
     sh = _shingles(docs, text_col, id_col, n)
     hashed = sh.withColumn(
         "_x", F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long") % F.lit(_MINHASH_PRIME)
     )
-    sigs = hashed.groupBy("_id").agg(*_minhash_sig_cols(k))
+    # ONE per-doc aggregation carries the k minhash mins AND the full
+    # shingle set + size (the verify side's input): the corpus explode runs
+    # once instead of twice, and materializing the result (guide §3.3)
+    # keeps the two candidate sides + two verify sides of the joins below
+    # from re-running it — same checkpoint economics as ngram_jaccard_pairs.
+    # collect_list order is partition-dependent but array_intersect is
+    # order-insensitive, so emitted values are unchanged.
+    per_doc = materialize(
+        hashed.groupBy("_id").agg(
+            *_minhash_sig_cols(k),
+            F.collect_list("shingle").alias("_set"),
+            F.count("*").alias("n_sh"),
+        ),
+        "minhash_perdoc",
+    )
+    sigs = per_doc.select("_id", *[f"mh{i}" for i in range(k)])
+    sets = per_doc.select("_id", "_set", "n_sh")
 
     # bands: concat each band's minhashes into one bucket key, explode
     band_keys = sigs.select(
@@ -337,7 +362,7 @@ def minhash_lsh_pairs(
     )
 
     return _verify_pairs(
-        candidates, _shingle_sets(sh), threshold, broadcast_candidates=bool(broadcast_candidates)
+        candidates, sets, threshold, broadcast_candidates=bool(broadcast_candidates)
     )
 
 
@@ -391,7 +416,10 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = _SIMHASH_BITS // n_chunks
-    sh = simhash(docs, text_col, id_col)
+    # the self-join below broadcasts one side, so without a checkpoint the
+    # words-explode + 48-conditional-sum aggregation runs twice (once per
+    # side); the simhash table is 2 integers per doc — tiny at any scale
+    sh = materialize(simhash(docs, text_col, id_col), "simhash")
     mask = (1 << chunk_bits) - 1
     chunks = sh.select(
         "doc_id",
