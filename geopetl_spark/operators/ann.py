@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import cosine, dot, to_double_array
 from ..plans.barriers import opaque
+from ..plans.ckpt import materialize
 
 
 def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "_unit") -> DataFrame:
@@ -102,14 +103,60 @@ def cosine_topk(
     """Exact top-k neighbors per query by cosine (excludes self-matches).
     Ties break on neighbor id for full determinism.
 
-    ``method='gemm'`` (default) scores pairs with the Arrow-batched numpy
-    scan (bit-identical to the fold — ``tests/test_text_clean_ivf.py``
-    proves the kernel); ``method='fold'`` is the pure-expression variant."""
+    ``method='gemm'`` (default, r7 layout): the query set — small by the
+    operator's own contract (it was broadcast before) — is collected and
+    normalized driver-side, then ONE Arrow pass over the corpus scores each
+    batch against every query with the sequential-scan kernel
+    (bit-identical to the fold — ``tests/test_text_clean_ivf.py`` proves
+    the kernel) and emits only a margin-pruned per-batch top-k
+    (:func:`_topk_prune`). The corpus is never joined or replicated per
+    query — the r6 shape shipped |corpus|×|queries| vector PAIRS through
+    Arrow; now only corpus bytes cross once and O(k·queries) candidate rows
+    reach the final window. ``method='fold'`` is the pure-expression
+    variant."""
     if method == "gemm":
-        q = _np_units(queries, id_col, vec_col, "query_id", "_qv")
-        c = _np_units(corpus, id_col, vec_col, "neighbor_id", "_cv")
-        pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        scored = _np_pair_scored(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
+        import numpy as np
+        from pyspark.sql import types as T
+
+        q_rows = queries.select(id_col, vec_col).collect()
+        q_ids = [r[id_col] for r in q_rows]
+        q_mat = (
+            _np_unit(np.array([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows]))
+            if q_rows
+            else None
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                T.StructField("_sim", T.DoubleType()),
+            ]
+        )
+
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0 or not q_ids:
+                    continue
+                u = _np_unit(np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]))
+                ids = pdf[id_col].to_numpy()
+                out_q, out_n, out_s = [], [], []
+                for qi, qid in enumerate(q_ids):
+                    sims = _np_seq_dot(u, q_mat[qi][None, :])
+                    m = ids != qid
+                    pid, psim = _topk_prune(ids[m], sims[m], k)
+                    out_q.extend([qid] * len(pid))
+                    out_n.extend(pid.tolist())
+                    out_s.extend(psim.tolist())
+                if out_q:
+                    yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "_sim": out_s})
+
+        scored = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(scan, schema=out_schema)
+            .select("query_id", "neighbor_id", F.round(F.col("_sim"), 6).alias("similarity"))
+        )
     else:
         q = with_unit_vector(queries, vec_col).select(
             F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv")
@@ -180,29 +227,92 @@ def lsh_bucketed_topk(
     method: str = "gemm",
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
-    The bucket equi-join replaces the cross join — at scale, corpus rows are
-    hash-partitioned by bucket and only same-bucket pairs are scored.
+    At scale only same-bucket pairs are scored — the pair space is never
+    enumerated.
 
-    ``method='gemm'`` (default): buckets + unit vectors in one Arrow-batched
-    numpy pass per side, pair scoring via the sequential-scan kernel —
-    bit-identical to the fold (hyperplane table 0 of
-    :func:`_multi_table_keyed` IS :func:`lsh_bucket`'s hyperplane set).
-    ``method='fold'``: pure-expression variant, same results."""
+    ``method='gemm'`` (default, r7 layout): the small query set is
+    collected, normalized, and bucketed driver-side (identical hyperplane
+    family and kernels — table 0 of :func:`_multi_table_keyed` IS
+    :func:`lsh_bucket`'s plane set), then ONE Arrow pass over the corpus
+    buckets each batch, scores rows that share a query's bucket with the
+    sequential-scan kernel, and emits a margin-pruned per-batch top-k
+    (:func:`_topk_prune`) — no bucket join, no per-pair vector shipping,
+    one corpus pass total (the r6 shape ran the keyer pass per side plus a
+    pair-scoring pass). ``method='fold'``: pure-expression variant, same
+    results."""
     if method == "gemm":
-        qb = _multi_table_keyed(queries, n_bits, 1, id_col, vec_col, dim=dim).select(
-            F.col("_id").alias("query_id"),
-            F.col("_unit").alias("_qv"),
-            F.element_at("_keys", 1).alias("bucket"),
+        import numpy as np
+        from pyspark.sql import types as T
+
+        q_rows = queries.select(id_col, vec_col).collect()
+        q_ids = [r[id_col] for r in q_rows]
+        if q_rows:
+            v_q = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+            if dim is not None and dim > v_q.shape[1]:
+                raise ValueError(
+                    f"dim={dim} exceeds vector length {v_q.shape[1]} for LSH bucketing"
+                )
+            vb_q = v_q if dim is None else v_q[:, :dim]
+            W_q = np.array(
+                [[_hyperplane_weight(d, j) for d in range(vb_q.shape[1])] for j in range(n_bits)]
+            )
+            signs_q = np.empty((len(q_rows), n_bits), dtype=bool)
+            for j in range(n_bits):
+                signs_q[:, j] = _np_seq_dot(vb_q, W_q[j][None, :]) > 0
+            q_buckets = (signs_q * (1 << np.arange(n_bits))).sum(axis=1)
+            q_mat = _np_unit(v_q)
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                T.StructField("_sim", T.DoubleType()),
+            ]
         )
-        cb = _multi_table_keyed(corpus, n_bits, 1, id_col, vec_col, dim=dim).select(
-            F.col("_id").alias("neighbor_id"),
-            F.col("_unit").alias("_cv"),
-            F.element_at("_keys", 1).alias("bucket"),
+
+        def scan(batches):
+            import pandas as pd
+
+            W = None
+            for pdf in batches:
+                if len(pdf) == 0 or not q_ids:
+                    continue
+                v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+                if dim is not None and dim > v.shape[1]:
+                    raise ValueError(
+                        f"dim={dim} exceeds vector length {v.shape[1]} for LSH bucketing"
+                    )
+                vb = v if dim is None else v[:, :dim]
+                if W is None:
+                    W = np.array(
+                        [
+                            [_hyperplane_weight(d, j) for d in range(vb.shape[1])]
+                            for j in range(n_bits)
+                        ]
+                    )
+                u = _np_unit(v)
+                signs = np.empty((len(pdf), n_bits), dtype=bool)
+                for j in range(n_bits):
+                    signs[:, j] = _np_seq_dot(vb, W[j][None, :]) > 0
+                buckets = (signs * (1 << np.arange(n_bits))).sum(axis=1)
+                ids = pdf[id_col].to_numpy()
+                out_q, out_n, out_s = [], [], []
+                for qi, qid in enumerate(q_ids):
+                    m = (buckets == q_buckets[qi]) & (ids != qid)
+                    if not m.any():
+                        continue
+                    sims = _np_seq_dot(u[m], q_mat[qi][None, :])
+                    pid, psim = _topk_prune(ids[m], sims, k)
+                    out_q.extend([qid] * len(pid))
+                    out_n.extend(pid.tolist())
+                    out_s.extend(psim.tolist())
+                if out_q:
+                    yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "_sim": out_s})
+
+        scored = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(scan, schema=out_schema)
+            .select("query_id", "neighbor_id", F.round(F.col("_sim"), 6).alias("similarity"))
         )
-        pairs = cb.join(F.broadcast(qb), ["bucket"]).filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        scored = _np_pair_scored(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
     else:
         qb = with_unit_vector(lsh_bucket(queries, n_bits, dim, id_col, vec_col), vec_col).select(
             F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv"), "bucket"
@@ -375,6 +485,7 @@ def embedding_near_dup_pairs(
     n_bits: int | None = None,
     n_tables: int | None = None,
     recall_target: float = 0.9,
+    lut_threshold_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
@@ -424,18 +535,94 @@ def embedding_near_dup_pairs(
     all) — the conservative fallback.
     """
     if method == "lsh":
+        from .dedup_text import _small_relation
+
         if n_bits is None:
             n_bits = 4
         if n_tables is None:
             _, n_tables, _ = lsh_config_for(threshold, recall_target, n_bits)
-        keyed = _multi_table_keyed(df, n_bits, n_tables, id_col, vec_col)
+        # materialize the keyed corpus ONCE (guide §3.3): its consumers
+        # below (candidate sides a/b + the verify side) sit behind
+        # differently-keyed joins, so without the checkpoint the Arrow
+        # normalize+hash pass over the corpus runs 4× (confirmed in the r6
+        # physical plan: four MapInPandas nodes over the same scan)
+        keyed = materialize(
+            _multi_table_keyed(df, n_bits, n_tables, id_col, vec_col), "ann_keyed"
+        )
         kx = keyed.select("_id", F.explode("_keys").alias("_tb"))
         ka, kb = kx.alias("ka"), kx.alias("kb")
-        candidates = (
+        raw_pairs = (
             ka.join(kb, (F.col("ka._tb") == F.col("kb._tb")) & (F.col("ka._id") < F.col("kb._id")))
             .select(F.col("ka._id").alias("id_a"), F.col("kb._id").alias("id_b"))
-            .distinct()
         )
+        if _small_relation(df, lut_threshold_bytes):
+            # Small-corpus pair path (r7): group the exploded index by
+            # (table, bucket) and generate + score + threshold-filter each
+            # bucket's pairs INSIDE one vectorized kernel — the candidate
+            # slots (Σ bucket², sf0.1: 4.5M for 2,000 vectors under the
+            # frozen 4-bit/18-table family) never exist as rows, never
+            # cross a join, and never ship through Arrow; only survivors
+            # (~900) leave the kernel, so the cross-table dedup distinct
+            # is trivial. Values are exact: the same cumsum kernel per
+            # pair; the kernel keeps raw sims ≥ threshold − 1e-6 (2× the
+            # max 6-dp rounding perturbation) and the exact rounded filter
+            # below decides membership, so the emitted set is identical to
+            # the join-verify path's. Gated by the same plan-stats probe
+            # as the dedup broadcast hints: per-task memory is bounded by
+            # the largest bucket, which the gate caps at the corpus size;
+            # above the gate — the 100-TB case — the equi-join + pair
+            # verify below keeps the work spread across the cluster.
+            import numpy as np
+            from pyspark.sql import types as T
+
+            margin = 1e-6
+            exploded = keyed.select("_id", "_unit", F.explode("_keys").alias("_tb"))
+            schema = T.StructType(
+                [
+                    T.StructField("id_a", keyed.schema["_id"].dataType),
+                    T.StructField("id_b", keyed.schema["_id"].dataType),
+                    T.StructField("_sim", T.DoubleType()),
+                ]
+            )
+
+            def bucket_pairs(pdf):
+                import pandas as pd
+
+                if len(pdf) < 2:
+                    return pd.DataFrame(columns=["id_a", "id_b", "_sim"])
+                ids = pdf["_id"].to_numpy()
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_unit"]])[order]
+                ii, jj = np.triu_indices(len(ids), k=1)
+                out_a, out_b, out_s = [], [], []
+                step = 1 << 20  # bound the cumsum intermediate to ~0.5 GB
+                for s in range(0, len(ii), step):
+                    isl, jsl = ii[s : s + step], jj[s : s + step]
+                    sims = _np_seq_dot(mat[isl], mat[jsl])
+                    m = sims >= threshold - margin
+                    if m.any():
+                        out_a.append(ids[isl[m]])
+                        out_b.append(ids[jsl[m]])
+                        out_s.append(sims[m])
+                if not out_a:
+                    return pd.DataFrame(columns=["id_a", "id_b", "_sim"])
+                return pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "_sim": np.concatenate(out_s),
+                    }
+                )
+
+            return (
+                exploded.groupBy("_tb")
+                .applyInPandas(bucket_pairs, schema=schema)
+                .select("id_a", "id_b", F.round(F.col("_sim"), 6).alias("similarity"))
+                .distinct()
+                .filter(F.col("similarity") >= threshold)
+            )
+        candidates = raw_pairs.distinct()
         ua = keyed.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_va"))
         ub = keyed.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"))
         pairs = candidates.join(ua, "id_a").join(ub, "id_b")
@@ -596,6 +783,25 @@ def _np_seq_dot(a, b):
     return np.cumsum(a * b, axis=1)[:, -1]
 
 
+def _topk_prune(ids, sims, k, margin=2e-6):
+    """Per-batch candidate prune for a global (round6(sim) desc, id asc)
+    top-k: keep every row whose RAW sim is within ``margin`` of the batch's
+    k-th largest raw sim. Safe under the later 6-dp rounding: a dropped row
+    has ≥ k same-batch rows whose raw sim exceeds it by > margin > 2× the
+    max rounding perturbation (5e-7), so those k rows' ROUNDED sims are
+    strictly greater and the dropped row can never reach the global top-k
+    under any id tiebreak — the emitted top-k set is exactly the unpruned
+    one. This is what lets the scan emit O(k) rows per (query, batch)
+    instead of shipping every scored pair to the window."""
+    if len(ids) > k:
+        import numpy as np
+
+        kth = np.partition(sims, len(sims) - k)[len(sims) - k]
+        keep = sims >= kth - margin
+        return ids[keep], sims[keep]
+    return ids, sims
+
+
 def _assignment_expr(censims_col, cids: list[int]):
     """argmax over the per-centroid sim array with (round6 desc, cid asc)
     ties — the same discipline as the expression path, evaluated over 8
@@ -613,6 +819,7 @@ def ivf_train_centroids(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_threshold_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Offline spherical k-means training for the IVF index — the
     quality upgrade over :func:`ivf_centroid_array`'s smallest-id seeding
@@ -642,9 +849,24 @@ def ivf_train_centroids(
     Returns the same one-row literal shape as :func:`ivf_centroid_array`
     (``cid`` = 0..k-1), directly usable as ``ivf_topk(centroids=...)``.
     Iteration count is fixed (``n_iter``) rather than threshold-based —
-    deterministic wall-clock and output."""
+    deterministic wall-clock and output.
+
+    **Small-corpus fast path (r7):** when Catalyst's plan-size estimate says
+    the training corpus fits comfortably on the driver (the same
+    plan-stats/file-size probe the dedup broadcast hints use, threshold
+    ``driver_threshold_bytes``), the vectors are collected ONCE and all
+    ``n_iter`` Lloyd iterations run locally — replacing ``n_iter``
+    sequential (Arrow scan + collect) job pairs with one job. The INT64
+    quantization makes the two paths exactly equal (integer cluster sums
+    are order-free, and every float op is the identical numpy kernel in the
+    identical sequence), asserted by
+    ``tests/test_text_clean_ivf.py::test_trainer_driver_and_distributed_agree``.
+    Training corpora above the threshold — the 100-TB case — keep the
+    distributed map-side-combine layout unchanged."""
     import numpy as np
     from pyspark.sql import types as T
+
+    from .dedup_text import _small_relation
 
     seed_rows = (
         corpus.select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("_cv"))
@@ -655,6 +877,30 @@ def ivf_train_centroids(
     if not seed_rows:
         raise ValueError("cannot train centroids on an empty corpus")
     cmat = _np_unit(np.array([np.asarray(r["_cv"], dtype=np.float64) for r in seed_rows]))
+
+    if _small_relation(corpus, driver_threshold_bytes):
+        rows = corpus.select(F.col(vec_col).alias("_v")).collect()
+        u = _np_unit(np.array([np.asarray(r["_v"], dtype=np.float64) for r in rows]))
+        q = np.floor(u * _IVF_QUANT + 0.5).astype(np.int64)
+        for _ in range(n_iter):
+            sims = np.empty((len(u), len(cmat)), dtype=np.float64)
+            for j in range(len(cmat)):
+                sims[:, j] = _np_seq_dot(u, cmat[j][None, :])
+            # same quantized comparator as the distributed partials below:
+            # argmax of floor(s*1e6+0.5), first max -> smallest centroid id
+            assign = np.argmax(np.floor(sims * 1e6 + 0.5), axis=1)
+            new = cmat.copy()
+            for c in np.unique(assign):
+                mask = assign == c
+                # exact INT64 cluster sum — identical to the distributed
+                # reduce over per-batch partials (integer addition is
+                # order-free), then the same (sum/n)/SCALE op order
+                new[c] = (q[mask].sum(axis=0).astype(np.float64) / int(mask.sum())) / _IVF_QUANT
+            cmat = _np_unit(new)
+        lit = [(int(c), [float(x) for x in cmat[c]]) for c in range(len(cmat))]
+        return corpus.sparkSession.createDataFrame(
+            [(lit,)], "_centroids array<struct<cid:bigint,u:array<double>>>"
+        )
 
     out_schema = T.StructType(
         [
@@ -833,32 +1079,54 @@ def ivf_topk(
             (-F.col("_p")["negcid"]).cast("long").alias("centroid_id"),
         )
     )
-    pairs = c.join(F.broadcast(qp), ["centroid_id"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
     if method == "gemm":
+        # r7 layout: the probe table (queries × nprobe — small by the same
+        # contract that let it be broadcast before) is collected, and ONE
+        # Arrow pass over the persisted index scores each batch's rows
+        # whose inverted list a query probes — the r6 shape materialized
+        # the (candidate × both-vectors) join through Arrow; now only the
+        # index crosses once and a margin-pruned per-batch top-k
+        # (:func:`_topk_prune`) reaches the window. The probe-list
+        # computation itself stays in Spark expressions (exact round/tie
+        # parity with the fold path and the SQL oracles).
         import numpy as np
 
-        def pair_sims(batches):
+        probes: dict = {}
+        for r in qp.collect():
+            ent = probes.setdefault(
+                int(r["query_id"]), (np.asarray(r["_qv"], dtype=np.float64), [])
+            )
+            ent[1].append(int(r["centroid_id"]))
+
+        def scan(batches):
             import pandas as pd
 
             for pdf in batches:
-                if len(pdf) == 0:
+                if len(pdf) == 0 or not probes:
                     continue
-                qv = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_qv"]])
-                cv = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_cv"]])
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"],
-                        "neighbor_id": pdf["neighbor_id"],
-                        "_sim": _np_seq_dot(qv, cv),
-                    }
-                )
+                mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_cv"]])
+                ids = pdf["neighbor_id"].to_numpy()
+                cents = pdf["centroid_id"].to_numpy()
+                out_q, out_n, out_s = [], [], []
+                for qid, (qv, cids) in probes.items():
+                    m = np.isin(cents, cids) & (ids != qid)
+                    if not m.any():
+                        continue
+                    sims = _np_seq_dot(mat[m], qv[None, :])
+                    pid, psim = _topk_prune(ids[m], sims, k)
+                    out_q.extend([qid] * len(pid))
+                    out_n.extend(pid.tolist())
+                    out_s.extend(psim.tolist())
+                if out_q:
+                    yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "_sim": out_s})
 
-        scored = pairs.mapInPandas(
-            pair_sims, schema="query_id long, neighbor_id long, _sim double"
+        scored = c.mapInPandas(
+            scan, schema="query_id long, neighbor_id long, _sim double"
         ).select("query_id", "neighbor_id", F.round(F.col("_sim"), 6).alias("similarity"))
     else:
+        pairs = c.join(F.broadcast(qp), ["centroid_id"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
         scored = pairs.select(
             "query_id", "neighbor_id", F.round(dot(F.col("_qv"), F.col("_cv")), 6).alias("similarity")
         )

@@ -23,19 +23,43 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_default_plan_is_bucket_equi_join_not_block_fanout(spark, emb):
-    """The DEFAULT path must generate candidates through a (table, bucket)
-    equi-join — NOT the B(B+1)/2 block-pair applyInPandas fan-out of the
-    exact mode."""
+def test_default_plan_is_bucket_keyed_not_block_fanout(spark, emb):
+    """The DEFAULT path must derive candidates from the (table, bucket) LSH
+    key — NOT the B(B+1)/2 block-pair fan-out of the exact mode (which
+    replicates every vector B times regardless of data). r7: below the
+    small-corpus gate the bucket keying is a groupBy-_tb kernel (pairs are
+    generated and thresholded per bucket, no pair rows materialized); above
+    the gate it stays the bucket equi-join."""
     plan = _plan(ANN.embedding_near_dup_pairs(emb, threshold=0.4))
-    # candidate generation: a hash equi-join keyed on the bucket key _tb
+    # candidate generation keyed on the (table, bucket) key _tb, no pair scan
     assert "_tb" in plan, plan
     assert "CartesianProduct" not in plan
-    # the blocked mode's signature operator must be absent
-    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # large-corpus path (gate forced off): the bucket EQUI-JOIN, with no
+    # per-group kernel
+    big = _plan(ANN.embedding_near_dup_pairs(emb, threshold=0.4, lut_threshold_bytes=0))
+    assert "_tb" in big and "FlatMapGroupsInPandas" not in big
+    assert "CartesianProduct" not in big
     # the exact mode (opt-in) still uses the block-pair fan-out
     blocked = _plan(ANN.embedding_near_dup_pairs(emb, threshold=0.4, method="blocked"))
     assert "FlatMapGroupsInPandas" in blocked
+
+
+def test_near_dup_small_and_large_paths_agree(spark, emb):
+    """The r7 per-bucket kernel (small-corpus gate on) and the bucket
+    equi-join + pair verify (gate off) must emit the identical pair set
+    with identical 6dp similarities."""
+    small = {
+        (r.id_a, r.id_b): r.similarity
+        for r in ANN.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    large = {
+        (r.id_a, r.id_b): r.similarity
+        for r in ANN.embedding_near_dup_pairs(
+            emb, threshold=0.4, lut_threshold_bytes=0
+        ).collect()
+    }
+    assert small == large and len(small) > 0
 
 
 def test_lsh_pairs_are_exact_valued_subset_of_blocked(spark, emb):

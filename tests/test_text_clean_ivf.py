@@ -105,14 +105,32 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
 def test_ivf_search_is_equi_join_not_cross(spark, emb):
     q = emb.filter(F.col("vec_id") < 20)
     plan = ANN.ivf_topk(q, emb, k=5)._jdf.queryExecution().executedPlan().toString()
-    # The corpus-vs-query search must be a hash equi-join KEYED on
-    # centroid_id (either build side), never a cross/nested-loop pair scan.
+    # gemm (default, r7): a single probe SCAN over the index — no pair join
+    # at all; the only nested-loop join allowed is the 1-row centroid-array
+    # broadcast, and never a cross/pair-space scan.
     import re
 
-    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)\s*\[centroid_id", plan), plan
     assert "CartesianProduct" not in plan
-    # the only nested-loop join allowed is the 1-row centroid-array broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # fold: the corpus-vs-query search must be a hash equi-join KEYED on
+    # centroid_id (either build side), never a cross/nested-loop pair scan.
+    planf = (
+        ANN.ivf_topk(q, emb, k=5, method="fold")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)\s*\[centroid_id", planf), planf
+    assert "CartesianProduct" not in planf
+
+
+def test_trainer_driver_and_distributed_agree(spark, emb):
+    """The r7 small-corpus driver trainer must reproduce the distributed
+    map-side-combine trainer BIT-for-bit (integer cluster sums are
+    order-free; every float op is the same kernel in the same sequence)."""
+    local = ANN.ivf_train_centroids(emb, n_centroids=6, n_iter=3)
+    dist = ANN.ivf_train_centroids(emb, n_centroids=6, n_iter=3, driver_threshold_bytes=0)
+    assert local.collect() == dist.collect()
 
 
 def test_cosine_topk_gemm_matches_fold_bit_for_bit(spark, emb):
