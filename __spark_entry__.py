@@ -113,16 +113,37 @@ def _q_q1_pricing_summary(spark, sf):
 
 
 def _q_top_revenue_orders(spark, sf):
+    # r7 plan shape (result-identical): the BUILDING-segment filter is a
+    # ~1/5 selection of customers, so the qualifying order-key set is
+    # resolved FIRST (orders x broadcast filtered customers) and lineitem
+    # is semi-join-pre-filtered on it BEFORE the revenue aggregation
+    # (guide §3.2: reduce the big side before shuffling it) — per-orderkey
+    # revenue is unaffected because the semi filter keeps or drops WHOLE
+    # orderkeys, and dropped keys could never survive the inner join. The
+    # pre-filter broadcast is gated by the same plan-stats probe as the
+    # dedup hints: at a scale where the BUILDING order-key list cannot
+    # broadcast, the plan falls back to the r6 aggregate-then-join (that
+    # regime is runtime-Bloom-filter territory, guide §3.2).
+    from geopetl_spark.operators.dedup_text import _small_relation
+
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
+    bo = o.join(
+        F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_orderkey", "c_custkey")
+    li_f = (
+        li.join(F.broadcast(bo.select("o_orderkey")), li.l_orderkey == bo.o_orderkey, "left_semi")
+        if _small_relation(o, 64 << 20)
+        else li
+    )
     rev = (
-        li.groupBy("l_orderkey")
+        li_f.groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
     joined = (
-        rev.join(o, rev.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        rev.join(bo, rev.l_orderkey == bo.o_orderkey)
         .select(F.col("l_orderkey").cast("long").alias("orderkey"), "revenue", F.col("c_custkey").cast("long").alias("custkey"))
     )
     return joined.orderBy(F.desc("revenue"), F.asc("orderkey")).limit(10)
@@ -342,21 +363,39 @@ def _q_text_lang_quality(spark, sf):
 
 
 def _q_corpus_clean_stats(spark, sf):
-    """The composed training-data cleaning flow in one plan: quality gate →
-    exact-dedup canonicalization → deterministic split → per-(split, lang)
-    accounting. Every stage is an operator with its own oracle-checked query;
-    this asserts the composition."""
+    """The composed training-data cleaning flow: quality gate → exact-dedup
+    canonicalization → deterministic split → per-(split, lang) accounting.
+
+    r7 plan shape (provably result-identical to the r6 composition, which
+    ran THREE corpus scans each re-evaluating the quality expression, plus
+    a join back): one scan computes (quality, lang, content hash) once per
+    row; the canonical row per content-hash group — the row the r6 chain
+    kept via ``exact_dup_groups(...).filter(is_canonical).join(kept)``,
+    i.e. the group's minimum-doc_id member — is selected directly with ONE
+    map-side-combinable ``min_by(row, doc_id)`` aggregation (doc_id is
+    unique, so min_by is deterministic and equals the is_canonical member
+    by definition: is_canonical ⇔ doc_id = min(doc_id) over the md5(text)
+    group). The deterministic split + final stats are unchanged."""
     d = _t(spark, sf, "documents")
-    scored = d.select(
+    # quality appears ONLY in the predicate (it is not an output), so the
+    # expensive expression evaluates once in the scan filter instead of
+    # once there and again in a projection
+    kept = d.filter(TXT.quality_score(F.col("text")) >= 0.5).select(
         "doc_id",
-        "text",
         "n_chars",
         TXT.lang_id(F.col("text")).alias("lang_pred"),
-        TXT.quality_score(F.col("text")).alias("quality"),
+        F.md5(F.col("text")).alias("_h"),
     )
-    kept = scored.filter(F.col("quality") >= 0.5)
-    canon = DD.exact_dup_groups(kept.select("doc_id", "text")).filter("is_canonical").select("doc_id")
-    cleaned = split_by_hash(kept.join(canon, "doc_id"), "doc_id")
+    canon_rows = (
+        kept.groupBy("_h")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "n_chars", "lang_pred"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.*")
+    )
+    cleaned = split_by_hash(canon_rows, "doc_id")
     return cleaned.groupBy("split", "lang_pred").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
@@ -635,17 +674,23 @@ def _q_tfidf_top_terms(spark, sf):
     # per-doc top TF-IDF term. idf = n_docs/df with NO log: every factor is a
     # correctly-rounded IEEE division of exact integers, so the score is
     # bit-identical across engines (ln() differs in final ulps).
+    #
+    # r7 plan shape (result-identical): the r6 layout derived doclen and
+    # dfreq as separate aggregations re-joined to tf — three corpus
+    # explodes and 18 Exchanges. Both are windowed aggregates OVER tf
+    # itself: n_terms = sum(tf_cnt) over doc (= token count per doc) and
+    # df = count(*) over term (= docs containing the term) — one explode,
+    # one tf aggregation, and the doc-partitioned window chain shares its
+    # exchange with the final rank window (guide §2.4).
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term")).filter(
         F.length("term") > 0
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(doclen, "doc_id")
-        .join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .withColumn("n_terms", F.sum("tf_cnt").over(Window.partitionBy("doc_id")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -54,16 +54,29 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 def lang_id(text: Column) -> Column:
     """n-gram/stopword heuristic language ID: the language with the most
-    stopword hits wins; ties break alphabetically; zero hits -> 'und'."""
-    pairs = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
-    best = pairs[0]
-    # fold: strictly-greater wins, so earlier (alphabetical) language keeps ties
-    expr = F.lit(pairs[0][0])
-    best_hits = pairs[0][1]
-    for lang, hits in pairs[1:]:
-        expr = F.when(hits > best_hits, F.lit(lang)).otherwise(expr)
-        best_hits = F.when(hits > best_hits, hits).otherwise(best_hits)
-    return F.when(best_hits <= 0, F.lit("und")).otherwise(expr)
+    stopword hits wins; ties break alphabetically; zero hits -> 'und'.
+
+    r7 expression shape (value-identical): the old CASE-WHEN fold nested
+    each comparison inside the next, duplicating every ``stopword_hits``
+    subtree exponentially — the physical plan carried ~40 interpreted
+    array passes PER ROW (higher-order functions are CodegenFallback, so
+    codegen subexpression elimination never sees them; measured 2-3.6 s
+    for a 5k-doc noop at sf0.1, guide §4.1). Now each language's hit count
+    appears exactly once inside an ``array_max`` over (hits, -index)
+    structs: lexicographic struct comparison picks the maximum hit count
+    and, on ties, the smallest index = alphabetically first language —
+    precisely the fold's strictly-greater-wins discipline. Zero hits still
+    maps to 'und' (the struct max carries the max hit count)."""
+    langs = sorted(STOPWORDS)
+    entries = [
+        F.struct(stopword_hits(text, lang).alias("h"), F.lit(-i).alias("ni"))
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best["h"] <= 0, F.lit("und")).otherwise(
+        F.element_at(lang_arr, (-best["ni"]).cast("int") + 1)
+    )
 
 
 def punct_ratio(text: Column) -> Column:
