@@ -786,6 +786,31 @@ class LakeTable:
                 F.col(LSN_COL).cast("long").alias(LSN_COL),
             )
         df = _conform(df, new_schema, keep_system=not lsn_synthesized)
+        if not lsn_synthesized and mode == "append":
+            # Guard (advisor r6): an LSN-carrying append is exempted from the
+            # bulk-blind marker below ONLY because its rows surface in
+            # read_changes — which filters _lsn > watermark. Null LSNs or
+            # LSNs at/below the current watermark would be silently invisible
+            # to every changelog window while the version looks complete, so
+            # refuse them loudly before any data is written.
+            wm = m.get("lsn_watermark")
+            chk = df.agg(
+                F.count(F.when(F.col(LSN_COL).isNull(), 1)).alias("n_null"),
+                F.min(LSN_COL).alias("mn"),
+            ).collect()[0]
+            if chk["n_null"]:
+                raise ValueError(
+                    f"append with _lsn: {chk['n_null']} null-_lsn row(s) would never "
+                    "surface in read_changes; supply non-null LSNs or drop the _lsn "
+                    "column (the version is then recorded bulk-blind)"
+                )
+            if wm is not None and chk["mn"] is not None and int(chk["mn"]) <= int(wm):
+                raise ValueError(
+                    f"append with _lsn: min(_lsn)={chk['mn']} <= lsn_watermark={wm}; "
+                    "read_changes filters _lsn > watermark, so these rows would be "
+                    "invisible to every changelog window. Supply LSNs above the "
+                    "watermark or drop the _lsn column"
+                )
         n_buckets = m["n_buckets"]
         key = m["key_col"]
         staged = df.withColumn(BUCKET_COL, self._bucket_expr(key, n_buckets))

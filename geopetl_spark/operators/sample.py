@@ -155,21 +155,35 @@ def stratified_sample(
             raise ValueError(f"fraction for group {g!r} must be in [0, 1], got {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError("default_fraction must be in [0, 1]")
+    from pyspark.sql import types as T
+
     default_cut = int(round(default_fraction * N_BUCKETS))
-    if len(fractions) <= _STRATIFY_JOIN_THRESHOLD:
+    # The join path is taken only for STRING group columns (the mixture-
+    # config case it exists for): a non-string key would go through
+    # join-time casts that can diverge from the CASE path's literal
+    # equality semantics (advisor r6), so other key types keep the CASE
+    # plan at any group count.
+    if len(fractions) <= _STRATIFY_JOIN_THRESHOLD or not isinstance(
+        df.schema[group_col].dataType, T.StringType
+    ):
         cutoff = F.lit(default_cut)
         for g, f in fractions.items():
             cutoff = F.when(F.col(group_col) == F.lit(g), F.lit(int(round(f * N_BUCKETS)))).otherwise(cutoff)
         return df.filter(hash_bucket(F.col(id_col)) < cutoff)
+    # collision-proof helper column name (advisor r6: a pre-existing
+    # _strat_cutoff column made the filter ambiguous)
+    cut_col = "_strat_cutoff"
+    while cut_col in df.columns:
+        cut_col = "_" + cut_col
     frac_tbl = df.sparkSession.createDataFrame(
         [(g, int(round(f * N_BUCKETS))) for g, f in fractions.items()],
-        f"`{group_col}` string, `_strat_cutoff` int",
+        f"`{group_col}` string, `{cut_col}` int",
     )
     joined = df.join(F.broadcast(frac_tbl), on=group_col, how="left")
     return (
         joined.filter(
-            hash_bucket(F.col(id_col)) < F.coalesce(F.col("_strat_cutoff"), F.lit(default_cut))
+            hash_bucket(F.col(id_col)) < F.coalesce(F.col(cut_col), F.lit(default_cut))
         )
-        .drop("_strat_cutoff")
+        .drop(cut_col)
         .select(*df.columns)  # same schema/order as the CASE path
     )

@@ -326,3 +326,32 @@ def test_bulk_append_with_lsn_is_changelog_visible(spark, tmp_path):
     assert v2 in t.manifest()["bulk_write_versions"]
     with pytest.raises(ValueError, match="bulk-append"):
         t.read_changes(v1)
+
+
+def test_lsn_append_rejects_null_and_stale_lsns(spark, tmp_path):
+    """Advisor r6: the _lsn-carrying-append exemption from bulk-blind
+    bookkeeping is only sound when every provided LSN is non-null AND above
+    the current watermark — rows failing either can never surface in
+    read_changes (which filters _lsn > watermark) while the version looks
+    changelog-complete. Both must be rejected loudly, before any write."""
+    t = LakeTable(spark, str(tmp_path / "lake")).create(DOC_SCHEMA, key_col="doc_id", n_buckets=4)
+    ev = generate_cdc_events(spark, 400, n_keys=40, events_per_epoch=200)
+    t.merge(ev.filter(F.col("epoch") == 0), epoch_id=0)
+    v0 = t.manifest()["version"]
+    wm = t.manifest()["lsn_watermark"]
+    assert wm is not None
+
+    nulls = spark.createDataFrame(
+        [("nk-%d" % i, [i], 1, "backfill") for i in range(3)], DOC_SCHEMA
+    ).withColumn("_lsn", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="null-_lsn"):
+        t.write(nulls, mode="append")
+
+    stale = spark.createDataFrame(
+        [("sk-%d" % i, [i], 1, "backfill") for i in range(3)], DOC_SCHEMA
+    ).withColumn("_lsn", F.lit(int(wm)).cast("long"))  # == watermark: invisible
+    with pytest.raises(ValueError, match="lsn_watermark"):
+        t.write(stale, mode="append")
+
+    # neither rejected attempt committed a version or wrote data
+    assert t.manifest()["version"] == v0

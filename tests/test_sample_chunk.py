@@ -94,6 +94,35 @@ def test_stratified_sample_join_path_equivalence(spark, ids, monkeypatch):
     assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in flat.collect()}
 
 
+def test_stratified_sample_nonstring_key_and_collision(spark, ids, monkeypatch):
+    """Advisor r6 hardening: (a) a NON-string group column above the join
+    threshold must keep the CASE plan (join-time casts could diverge from
+    literal-equality semantics) and stay membership-identical; (b) a
+    pre-existing _strat_cutoff column must not break the join path."""
+    import geopetl_spark.operators.sample as S
+
+    # (a) integer group column, many named groups
+    grouped = ids.withColumn("src", (F.col("doc_id") % 10).cast("int"))
+    fr = {str(i): (i + 1) / 20 for i in range(10)}
+    base = stratified_sample(grouped, "doc_id", "src", fr, default_fraction=0.1)
+    monkeypatch.setattr(S, "_STRATIFY_JOIN_THRESHOLD", 4)
+    low = stratified_sample(grouped, "doc_id", "src", fr, default_fraction=0.1)
+    assert "BroadcastHashJoin" not in low._jdf.queryExecution().executedPlan().toString()
+    assert {r.doc_id for r in base.collect()} == {r.doc_id for r in low.collect()}
+
+    # (b) string key + clashing helper column name: no AnalysisException,
+    # membership identical to the CASE path, input column preserved
+    clash = ids.withColumn(
+        "src", F.concat(F.lit("g"), (F.col("doc_id") % 10).cast("string"))
+    ).withColumn("_strat_cutoff", F.lit(99))
+    fr_s = {f"g{i}": (i + 1) / 20 for i in range(10)}
+    joined = stratified_sample(clash, "doc_id", "src", fr_s, default_fraction=0.1)
+    assert "_strat_cutoff" in joined.columns  # the caller's column survives
+    monkeypatch.setattr(S, "_STRATIFY_JOIN_THRESHOLD", 64)
+    case = stratified_sample(clash, "doc_id", "src", fr_s, default_fraction=0.1)
+    assert {r.doc_id for r in joined.collect()} == {r.doc_id for r in case.collect()}
+
+
 def test_chunk_array_semantics(spark):
     df = spark.createDataFrame(
         [(1, list(range(10))), (2, list(range(4))), (3, []), (4, None)],
