@@ -246,6 +246,7 @@ def lsh_bucketed_topk(
 
         q_rows = queries.select(id_col, vec_col).collect()
         q_ids = [r[id_col] for r in q_rows]
+        q_buckets = q_mat = None  # empty query set: the scan emits nothing
         if q_rows:
             v_q = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
             if dim is not None and dim > v_q.shape[1]:
