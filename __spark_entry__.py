@@ -825,8 +825,10 @@ def _ivf_index_for(spark, sf, kind: str):
         else:
             cen = ANN.ivf_centroid_array(emb, 8)
         # lazy persist: the first search materializes the inverted lists
-        # (it reads every index partition anyway), later searches hit cache
-        asg = ANN.ivf_assign(emb, cen).persist()
+        # (it reads every index partition anyway), later searches hit cache.
+        # Only the columns the probe search reads are cached (r7): the raw
+        # embedding would double every cached vector for no consumer.
+        asg = ANN.ivf_assign(emb, cen).select("vec_id", "_unit", "centroid_id").persist()
         idx = _IVF_INDEX[key] = (cen, asg)
     return idx
 
